@@ -81,6 +81,11 @@ class NoControl:
     def edit_probs(self, probs, layer: LayerTag) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         return probs, {}
 
+    def map_features(self, h, site: str):
+        """Spatial-feature hook at up-block resnet outputs (PnP conv
+        injection site, ``pnp_utils.py:95-155``).  Identity by default."""
+        return h
+
 
 # Register NoControl as an empty pytree so it can cross jit boundaries freely.
 NO_CONTROL = NoControl()

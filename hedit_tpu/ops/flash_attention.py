@@ -67,8 +67,8 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("blk_q", "blk_k"))
-def flash_attention(q, k, v, *, blk_q: int = 512, blk_k: int = 512):
+@functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
+def flash_attention(q, k, v, *, blk_q: int = 512, blk_k: int = 512, interpret: bool = False):
     """Softmax attention, numerically matching
     ``softmax(q k^T / sqrt(D)) v`` in float32.
 
@@ -102,6 +102,7 @@ def flash_attention(q, k, v, *, blk_q: int = 512, blk_k: int = 512):
         ],
         out_specs=pl.BlockSpec((None, blk_q, dp), lambda bh, i: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        interpret=interpret,
     )(qf, kf, vf)
 
     return out.reshape(b, h, sqp, dp)[:, :, :sq, :d]
