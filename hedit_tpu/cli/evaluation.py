@@ -1,0 +1,193 @@
+"""PieBench evaluation CLI — parity with
+``text-guided/evaluation/evaluation.py:109-215``.
+
+Iterates the mapping file, decodes the run-length edit masks (borders forced
+to 1), crops non-square result images to the right 512x512 ("to evaluate
+editing", :203-207), computes the nine default metrics, and appends one CSV
+row per sample per method.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+ALL_METRICS = [
+    "structure_distance",
+    "psnr_unedit_part",
+    "lpips_unedit_part",
+    "mse_unedit_part",
+    "ssim_unedit_part",
+    "clip_similarity_source_image",
+    "clip_similarity_target_image",
+    "clip_similarity_target_image_edit_part",
+    "local_clip",
+]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="h-edit-tpu PieBench evaluation")
+    p.add_argument("--annotation_mapping_file", type=str, required=True)
+    p.add_argument("--metrics", nargs="+", type=str, default=ALL_METRICS)
+    p.add_argument("--src_image_folder", type=str, required=True)
+    p.add_argument("--tgt_methods", nargs="+", type=str, required=True,
+                   help="result folders to evaluate")
+    p.add_argument("--result_path", type=str, default="evaluation_result.csv")
+    p.add_argument("--edit_category_list", nargs="+", type=str,
+                   default=["0", "1", "2", "3", "4", "5", "6", "7", "8", "9"])
+    p.add_argument("--clip_weights", type=str, default=os.environ.get("HEDIT_CLIP_L14"))
+    p.add_argument("--dino_weights", type=str, default=os.environ.get("HEDIT_DINO_B8"))
+    p.add_argument("--lpips_weights", type=str, default=os.environ.get("HEDIT_LPIPS_CKPT"))
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def build_calculators(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from hedit_tpu.eval_harness.clip_embed import create_clip_embedder
+    from hedit_tpu.eval_harness.local_clip import (
+        DirectionalCLIPMetric, clip_image_preprocess,
+    )
+    from hedit_tpu.eval_harness.metrics import CLIPScoreMetric, LPIPSMetric
+    from hedit_tpu.models.lpips_vgg import LPIPSVgg, convert_lpips_vgg
+    from hedit_tpu.models.vit_dino import (
+        DINOViT, ViTConfig, convert_dino_vit, structure_distance,
+    )
+
+    clip_emb = create_clip_embedder(args.clip_weights, tiny=args.tiny)
+    clip_res = clip_emb.vision_model.cfg.input_resolution
+
+    def image_embed_raw(img_raw):  # [B,H,W,3] 0..255
+        return clip_emb.embed_image(
+            clip_image_preprocess(jnp.asarray(img_raw), size=clip_res)
+        )
+
+    clip_score = CLIPScoreMetric(image_embed_raw, clip_emb.embed_text)
+    local_clip = DirectionalCLIPMetric(
+        lambda x: clip_emb.embed_image(x), clip_emb.embed_text, size=clip_res
+    )
+
+    vcfg = ViTConfig.tiny() if args.tiny else ViTConfig.dino_vitb8()
+    dino = DINOViT(vcfg)
+    dummy = jnp.zeros((1, 224, 224, 3))
+    if args.dino_weights:
+        from hedit_tpu.io_utils.weights import load_torch_state, validate_against
+
+        dp = convert_dino_vit(load_torch_state(args.dino_weights))
+        validate_against(jax.eval_shape(dino.init, jax.random.PRNGKey(0), dummy),
+                         dp, "dino_vitb8")
+        dino_params = jax.tree_util.tree_map(jnp.asarray, dp)
+    else:
+        dino_params = dino.init(jax.random.PRNGKey(0), dummy)
+    dino_apply = lambda x: dino.apply(dino_params, x)  # noqa: E731
+
+    lp = LPIPSVgg()
+    di = jnp.zeros((1, 64, 64, 3))
+    if args.lpips_weights:
+        from hedit_tpu.io_utils.weights import load_torch_state
+
+        lp_params = jax.tree_util.tree_map(
+            jnp.asarray, convert_lpips_vgg(load_torch_state(args.lpips_weights))
+        )
+    else:
+        lp_params = lp.init(jax.random.PRNGKey(0), di, di)
+    lpips_metric = LPIPSMetric(lambda a, b: lp.apply(lp_params, a, b))
+
+    return clip_score, local_clip, dino_apply, lpips_metric
+
+
+def calculate_metric(metric, calcs, src, tgt, mask, src_prompt, tgt_prompt):
+    import jax.numpy as jnp
+
+    from hedit_tpu.eval_harness import metrics as M
+    from hedit_tpu.models.vit_dino import structure_distance
+
+    clip_score, local_clip, dino_apply, lpips_metric = calcs
+    inv_mask = 1 - mask
+    if metric == "structure_distance":
+        return float(structure_distance(
+            dino_apply, jnp.asarray(np.asarray(src, np.float32))[None],
+            jnp.asarray(np.asarray(tgt, np.float32))[None]))
+    if metric == "psnr_unedit_part":
+        return M.calculate_psnr(tgt, src, inv_mask, inv_mask)
+    if metric == "lpips_unedit_part":
+        return lpips_metric(tgt, src, inv_mask, inv_mask)
+    if metric == "mse_unedit_part":
+        return M.calculate_mse(tgt, src, inv_mask, inv_mask)
+    if metric == "ssim_unedit_part":
+        return M.calculate_ssim(tgt, src, inv_mask, inv_mask)
+    if metric == "clip_similarity_source_image":
+        return clip_score(src, src_prompt)
+    if metric == "clip_similarity_target_image":
+        return clip_score(tgt, tgt_prompt)
+    if metric == "clip_similarity_target_image_edit_part":
+        return clip_score(tgt, tgt_prompt, mask)
+    if metric == "local_clip":
+        import jax.numpy as jnp
+
+        s = jnp.asarray(np.asarray(src, np.float32))
+        t = jnp.asarray(np.asarray(tgt, np.float32))
+        return local_clip(s, src_prompt, t, tgt_prompt)
+    raise ValueError(metric)
+
+
+def main(argv=None):
+    from hedit_tpu.io_utils.images import dataset_from_json, mask_decode
+
+    args = parse_args(argv)
+    calcs = build_calculators(args)
+    data = dataset_from_json(args.annotation_mapping_file)
+
+    with open(args.result_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        header = ["key"] + [f"{m}|{t}" for t in args.tgt_methods for m in args.metrics]
+        writer.writerow(header)
+        for key, item in data.items():
+            if item.get("editing_type_id", "0") not in args.edit_category_list:
+                continue
+            src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
+            tgt_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
+            mask = mask_decode(item["mask"])[:, :, None].repeat(3, axis=2)
+            src = Image.open(
+                os.path.join(args.src_image_folder, item["image_path"])
+            ).convert("RGB")
+            row = [key]
+            for method in args.tgt_methods:
+                base = os.path.join(method, item["image_path"])
+                tgt_path = base if os.path.exists(base) else (
+                    base.rsplit(".", 1)[0] + ".png"
+                )
+                if not os.path.exists(tgt_path):
+                    row.extend([""] * len(args.metrics))
+                    continue
+                tgt = Image.open(tgt_path).convert("RGB")
+                if tgt.size[0] != tgt.size[1]:
+                    # crop the RIGHT square ("to evaluate editing", :203-207)
+                    tgt = tgt.crop((tgt.size[0] - tgt.size[1], 0,
+                                    tgt.size[0], tgt.size[1]))
+                if tgt.size != (512, 512):
+                    tgt = tgt.resize((512, 512))
+                if src.size != (512, 512):
+                    src = src.resize((512, 512))
+                for metric in args.metrics:
+                    row.append(calculate_metric(
+                        metric, calcs, src, tgt, mask, src_prompt, tgt_prompt))
+            writer.writerow(row)
+            print(f"evaluated {key}")
+    print(f"wrote {args.result_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""Demo driver — CLI parity with ``text-guided/main_demo.py``.
+
+Same pipeline as main_p2p but over a demo YAML
+({image, source_prompt, target_prompt, blended_word, editing_instruction},
+``text-guided/assets/demo/demo.yaml``), with the heuristic blend-word /
+equalizer preprocessing and merging (:204-221): difflib word-diff proposes
+blend words + eq params (value 1.5), which are merged with any dataset-given
+blended_word.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hedit_tpu.cli.main_p2p import parse_args, run_sample, result_dir_name
+from hedit_tpu.cli.common import build_pipeline
+
+
+def main(argv=None):
+    from hedit_tpu.control.p2p_prep import preprocess_blend_and_eq
+    from hedit_tpu.io_utils.images import dataset_from_yaml
+
+    args = parse_args(argv)
+    is_ddim = args.eta == 0
+    pipe = build_pipeline(args, args.num_diffusion_steps,
+                          steps_offset=0 if is_ddim else 1)
+
+    yaml_path = args.mapping_file or os.path.join(
+        os.path.dirname(args.image or "."), "demo.yaml"
+    )
+    items = dataset_from_yaml(yaml_path)
+    out_dir = os.path.join(args.output_path, result_dir_name(args.mode + "_demo", args))
+    os.makedirs(out_dir, exist_ok=True)
+
+    for i, item in enumerate(items):
+        src = item["source_prompt"]
+        tar = item["target_prompt"]
+        blend, eq = preprocess_blend_and_eq(src, tar)
+        blended = item.get("blended_word", "")
+        if not blended and blend is not None:
+            blended = f"{blend[0][0]} {blend[1][0]}"
+        sample = {
+            "image_path": item["image"],
+            "original_prompt": src,
+            "editing_prompt": tar,
+            "blended_word": blended,
+            "editing_type_id": "0",
+        }
+        img = run_sample(args, pipe, f"demo_{i}", sample)
+        out = os.path.join(out_dir, f"demo_{i}.png")
+        img.save(out)
+        print(f"[demo_{i}] saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,131 @@
+"""Face-swapping driver — CLI parity with ``face-swapping/main_edit.py``.
+
+Modes: h_edit_R (reward-guided implicit h-Edit) and ef.  Flags (:30-66):
+--num_diffusion_steps 100, --eta 1.0 (asserted), --optimization_steps 3,
+--weight_edit_face 50.0 (100.0 when optimization_steps == 1, :60),
+--post_processing ON by default (the reference exposes it as
+``action='store_false'``, :59 — reproduced).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hedit_tpu.cli.common import force_platform
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="h-edit-tpu face swapping")
+    p.add_argument("--mode", type=str, default="h_edit_R", choices=["h_edit_R", "ef"])
+    p.add_argument("--data_file", type=str, default=None,
+                   help="JSON [{idx, ref, source}] (assets/demo/demo.json layout)")
+    p.add_argument("--ref", type=str, default=None)
+    p.add_argument("--source", type=str, default=None)
+    p.add_argument("--output_path", type=str, default="results")
+    p.add_argument("--num_diffusion_steps", type=int, default=100)
+    p.add_argument("--skip", type=int, default=0)
+    p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--optimization_steps", type=int, default=3)
+    p.add_argument("--weight_edit_face", type=float, default=50.0)
+    p.add_argument("--post_processing", action="store_false",
+                   help="ON by default; passing the flag DISABLES it (reference quirk)")
+    p.add_argument("--celeba_ckpt", type=str, default=os.environ.get("HEDIT_CELEBA_CKPT"))
+    p.add_argument("--arcface_ckpt", type=str, default=os.environ.get("HEDIT_ARCFACE_CKPT"))
+    p.add_argument("--lpips_ckpt", type=str, default=os.environ.get("HEDIT_LPIPS_CKPT"))
+    p.add_argument("--parser_ckpt", type=str, default=os.environ.get("HEDIT_PARSER_CKPT"))
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--step_chunk", type=int, default=10)
+    args = p.parse_args(argv)
+    assert args.eta == 1.0, "face swapping requires eta == 1.0 (main_edit.py:64)"
+    if args.optimization_steps == 1 and args.weight_edit_face == 50.0:
+        args.weight_edit_face = 100.0  # (:60)
+    return args
+
+
+def main(argv=None):
+    from hedit_tpu.edit.face_swap import ef_face, h_edit_r_face
+    from hedit_tpu.invert.sde import invert_sde
+    from hedit_tpu.io_utils.images import dataset_from_json, image_grid, load_image, to_pil
+    from hedit_tpu.pipelines.face import create_face_pipeline
+    from hedit_tpu.rewards.face_mask import build_face_mask
+
+    args = parse_args(argv)
+    force_platform(args.platform)
+
+    pipe = create_face_pipeline(
+        tiny=args.tiny, num_inference_steps=args.num_diffusion_steps,
+        celeba_ckpt=args.celeba_ckpt, arcface_ckpt=args.arcface_ckpt,
+        lpips_ckpt=args.lpips_ckpt, parser_ckpt=args.parser_ckpt,
+    )
+    res = pipe.unet.cfg.resolution
+    eps_fn = pipe.eps_fn()
+    N = args.num_diffusion_steps - args.skip
+
+    pairs = []
+    if args.data_file:
+        for item in dataset_from_json(args.data_file):
+            pairs.append((item["ref"], item["source"]))
+    else:
+        assert args.ref and args.source, "need --ref and --source (or --data_file)"
+        pairs.append((args.ref, args.source))
+
+    os.makedirs(args.output_path, exist_ok=True)
+    for ref_path, src_path in pairs:
+        ref_img = jnp.asarray(load_image(ref_path, size=res))
+        src_img = jnp.asarray(load_image(src_path, size=res))
+
+        id_fn = pipe.id_loss_fn(ref_img)
+        lpips_fn = pipe.lpips_loss_fn(src_img)
+
+        inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=args.eta,
+                         rng=jax.random.PRNGKey(42), step_chunk=args.step_chunk)
+
+        seg = pipe.parse(src_img)
+        soft_mask = build_face_mask(seg)
+
+        xT = inv.xts[N][None]
+        if args.mode == "h_edit_R":
+            edited = h_edit_r_face(
+                eps_fn, pipe.schedule, xT, inv.zs, id_loss_fn=id_fn,
+                lpips_loss_fn=lpips_fn, weight_edit_face=args.weight_edit_face,
+                eta=args.eta, optimization_steps=args.optimization_steps,
+                after_skip_steps=N, soft_face_mask=None,
+            )
+        else:
+            edited = ef_face(
+                eps_fn, pipe.schedule, xT, inv.zs, id_loss_fn=id_fn,
+                lpips_loss_fn=lpips_fn, weight_edit_face=args.weight_edit_face,
+                eta=args.eta, after_skip_steps=N, soft_face_mask=None,
+            )
+
+        if args.post_processing:
+            # mask blend (main_edit.py:211-212)
+            mask = soft_mask if soft_mask.ndim == 4 else soft_mask[..., None]
+            edited = edited * mask + src_img * (1 - mask)
+
+        from hedit_tpu.models.arcface import cosine_sim
+
+        ref_embed = pipe.id_embed(ref_img)
+        sim = cosine_sim(pipe.arcface_params, pipe.arcface, edited, ref_embed)
+        print(f"Cosine Similarity: {float(jnp.mean(sim))}")
+
+        grid = image_grid([to_pil(np.asarray(x)) for x in (ref_img, src_img, edited)])
+        key = (
+            f"{os.path.basename(ref_path).split('.')[0]}_"
+            f"{os.path.basename(src_path).split('.')[0]}"
+        )
+        out = os.path.join(args.output_path, f"item_{key}.png")
+        grid.save(out)
+        print(f"saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,262 @@
+"""Text-guided editing driver (P2P family) — CLI parity with
+``text-guided/main_p2p.py`` (flags at :32-70, dispatch at :215-258).
+
+Modes: h_edit_R, h_edit_D_p2p, h_edit_R_p2p, ef, ef_p2p, nmg_p2p, pnp_inv_p2p
+(the reference's dispatch checks ``mode=='nmg'`` which its own choices list
+cannot produce — documented quirk; this driver accepts both spellings).
+
+TPU notes: the per-sample pipeline deep-copy of the reference (:119) does not
+exist here — controller state is explicit.  The whole edit (inversion + scan)
+runs jitted; one compilation is reused across the dataset (static shapes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hedit_tpu.cli.common import (
+    add_common_model_args,
+    build_pipeline,
+    encode_prompts,
+    result_dir_name,
+)
+
+# Hardcoded PieBench keys for which the Replace controller may be used
+# (reference main_p2p.py:179-188)
+DDIM_REPLACE_KEYS = {
+    "111000000001", "111000000004", "111000000009", "121000000007",
+    "122000000006", "121000000000", "121000000001",
+}
+DDPM_REPLACE_KEYS = {"122000000005", "122000000006", "000000000099", "214000000009"}
+
+MODES = [
+    "h_edit_R", "h_edit_D_p2p", "h_edit_R_p2p", "ef", "ef_p2p",
+    "nmg", "nmg_p2p", "pnp_inv_p2p",
+]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="h-edit-tpu text-guided editing (P2P)")
+    p.add_argument("--mode", type=str, default="h_edit_R_p2p", choices=MODES)
+    p.add_argument("--device_num", type=int, default=0)
+    p.add_argument("--data_path", type=str, default="data")
+    p.add_argument("--output_path", type=str, default="results")
+    p.add_argument("--mapping_file", type=str, default=None)
+    p.add_argument("--image", type=str, default=None, help="single-image mode")
+    p.add_argument("--source_prompt", type=str, default=None)
+    p.add_argument("--target_prompt", type=str, default=None)
+    p.add_argument("--blended_word", type=str, default="")
+    p.add_argument("--edit_category_list", nargs="+", type=str,
+                   default=["0", "1", "2", "3", "4", "5", "6", "7", "8", "9"])
+    p.add_argument("--num_diffusion_steps", type=int, default=50)
+    p.add_argument("--skip", type=int, default=0)
+    p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--cfg_src", type=float, default=1.0)
+    p.add_argument("--cfg_src_edit", type=float, default=5.0)
+    p.add_argument("--cfg_tar", type=float, default=7.5)
+    p.add_argument("--implicit", action="store_true")
+    p.add_argument("--optimization_steps", type=int, default=1)
+    p.add_argument("--weight_reconstruction", type=float, default=0.1)
+    p.add_argument("--xa", type=float, default=0.4)
+    p.add_argument("--sa", type=float, default=0.35)
+    p.add_argument("--step_chunk", type=int, default=10)
+    add_common_model_args(p)
+    args = p.parse_args(argv)
+    # eta asserts (reference :74-77)
+    if args.mode in ("h_edit_R", "h_edit_R_p2p", "ef", "ef_p2p"):
+        assert args.eta > 0, f"{args.mode} requires eta > 0 (DDPM inversion)"
+    if args.mode in ("nmg", "nmg_p2p", "pnp_inv_p2p", "h_edit_D_p2p"):
+        assert args.eta == 0, f"{args.mode} requires eta == 0 (DDIM inversion)"
+    return args
+
+
+def iter_samples(args):
+    if args.image is not None:
+        yield "single", {
+            "image_path": args.image,
+            "original_prompt": args.source_prompt or "",
+            "editing_prompt": args.target_prompt or "",
+            "blended_word": args.blended_word,
+            "editing_type_id": "0",
+        }
+        return
+    from hedit_tpu.io_utils.images import dataset_from_json
+
+    mapping = args.mapping_file or os.path.join(args.data_path, "mapping_file.json")
+    for key, item in dataset_from_json(mapping).items():
+        if item.get("editing_type_id", "0") not in args.edit_category_list:
+            continue
+        item = dict(item)
+        if not os.path.isabs(item["image_path"]):
+            item["image_path"] = os.path.join(
+                args.data_path, "annotation_images", item["image_path"]
+            )
+        yield key, item
+
+
+def run_sample(args, pipe, key, item):
+    from hedit_tpu.control.p2p import build_p2p_control, init_local_blend
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p, nmg_p2p
+    from hedit_tpu.edit.h_edit import HEditConfig, ef_sample, h_edit_r
+    from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
+    from hedit_tpu.invert.ddim import invert_ddim
+    from hedit_tpu.invert.ddpm import invert_ddpm
+    from hedit_tpu.io_utils.images import load_image, to_pil
+
+    is_ddim = args.eta == 0
+    eta = 1.0 if is_ddim else args.eta  # eta=1 post-DDIM (:164-165)
+    N = args.num_diffusion_steps - args.skip
+    sched = pipe.schedule
+
+    src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
+    tar_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
+    blended = item.get("blended_word", "")
+    blended = blended.split(" ") if blended else []
+
+    img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+    x0_img = jnp.asarray(load_image(item["image_path"], size=img_size))
+    w0 = pipe.vae_encode(x0_img)
+
+    embeds = encode_prompts(pipe, ["", src_prompt, tar_prompt], args.tiny)
+    uncond, src_ctx, tar_ctx = embeds[0:1], embeds[1:2], embeds[2:3]
+
+    eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
+    eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
+
+    if is_ddim:
+        inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
+                          cfg_scale=args.cfg_src, step_chunk=args.step_chunk)
+    else:
+        inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
+                          cfg_scale_src=args.cfg_src, eta=args.eta,
+                          rng=jax.random.PRNGKey(args.device_num),
+                          step_chunk=args.step_chunk)
+    xT = inv.xts[N][None] if inv.xts.ndim == 4 else inv.xts[N]
+    zs = inv.zs
+
+    cfg = HEditConfig(
+        cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit, cfg_tar=args.cfg_tar,
+        eta=eta, is_ddim_inversion=is_ddim, implicit=args.implicit,
+        optimization_steps=args.optimization_steps,
+        weight_reconstruction=args.weight_reconstruction,
+    )
+
+    needs_p2p = args.mode.endswith("p2p") or args.mode.startswith("pnp_inv")
+    control = local_blend = None
+    if needs_p2p and not args.tiny and pipe.tokenizer is not None:
+        prompts = [src_prompt, tar_prompt]
+        len_eq = len(src_prompt.split(" ")) == len(tar_prompt.split(" "))
+        keys = DDIM_REPLACE_KEYS if is_ddim else DDPM_REPLACE_KEYS
+        is_replace = (
+            len_eq and key in keys
+            and args.mode in ("h_edit_D_p2p", "h_edit_R_p2p")
+        )
+        if args.mode in ("h_edit_R_p2p", "h_edit_D_p2p") and args.optimization_steps > 1:
+            eq_val = 1.25
+        else:
+            eq_val = 2.0
+        eq_params = (
+            {"words": (blended[1],), "values": (eq_val,)} if len(blended) >= 2 else None
+        )
+        sample = pipe.unet.cfg.sample_size
+        control = build_p2p_control(
+            num_steps=N, cross_replace_steps=args.xa, self_replace_steps=args.sa,
+            prompts=prompts, tokenizer=pipe.tokenizer, is_replace=is_replace,
+            eq_params=eq_params, blend_px=(sample // 4) ** 2,
+        )
+        if len(blended) >= 2:
+            local_blend = init_local_blend(
+                prompts, ((blended[0],), (blended[1],)), pipe.tokenizer,
+                num_steps=N, heads=pipe.unet.cfg.num_heads, res=sample // 4,
+            )
+    elif needs_p2p:
+        # tiny/no-tokenizer path: neutral controller (alphas zero)
+        from hedit_tpu.control.p2p import P2PControl
+
+        sample = pipe.unet.cfg.sample_size
+        control = P2PControl(
+            step=jnp.zeros((), jnp.int32),
+            cross_alpha=jnp.zeros((N + 1, 77)),
+            refine_mapper=jnp.arange(77),
+            refine_alphas=jnp.ones(77),
+            replace_mapper=jnp.eye(77),
+            equalizer=jnp.ones(77),
+            blend_px=(sample // 4) ** 2,
+        )
+
+    if args.mode in ("h_edit_R", "h_edit_D", "h_edit"):
+        edited, _ = h_edit_r(
+            lambda x, t, c: pipe.unet_eps(x, t, c), sched, xT, zs,
+            uncond_ctx=uncond, src_ctx=src_ctx, tar_ctx=tar_ctx, cfg=cfg,
+            after_skip_steps=N,
+        )
+    elif args.mode in ("h_edit_R_p2p", "h_edit_D_p2p"):
+        edited, _ = h_edit_p2p(
+            eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src_ctx,
+            tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=N, control=control,
+            local_blend=local_blend,
+        )
+    elif args.mode == "ef":
+        edited = ef_sample(
+            eps_plain, sched, xT, zs, uncond_ctx=uncond, tar_ctx=tar_ctx,
+            cfg_tar=args.cfg_tar, eta=eta, after_skip_steps=N,
+            is_ddim_inversion=is_ddim,
+        )
+    elif args.mode in ("ef_p2p", "pnp_inv_p2p"):
+        edited, _ = ef_or_pnp_inv_p2p(
+            eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src_ctx,
+            tar_ctx=tar_ctx, cfg_src=args.cfg_src, cfg_tar=args.cfg_tar,
+            eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
+            control=control, local_blend=local_blend,
+        )
+    elif args.mode in ("nmg", "nmg_p2p"):
+        edited, _ = nmg_p2p(
+            eps_ctrl, sched, xT, inv.xts[: N + 1], zs, uncond_ctx=uncond,
+            src_ctx=src_ctx, tar_ctx=tar_ctx, cfg_tar=args.cfg_tar,
+            after_skip_steps=N, control=control, local_blend=local_blend,
+        )
+    else:
+        raise NotImplementedError(args.mode)
+
+    img = to_pil(np.asarray(pipe.vae_decode(edited)))
+    return img
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    is_ddim = args.eta == 0
+    pipe = build_pipeline(args, args.num_diffusion_steps,
+                          steps_offset=0 if is_ddim else 1)
+
+    weight_str = (
+        f"eta_{args.eta}_src_orig_{args.cfg_src}_src_edit_{args.cfg_src_edit}"
+        f"_tar_scale_{args.cfg_tar}_w_rec_{args.weight_reconstruction}"
+        f"_n_opts_{args.optimization_steps}"
+    )
+    xa_sa = f"xa_{args.xa}_sa{args.sa}" if args.mode.endswith("p2p") else ""
+    out_dir = os.path.join(
+        args.output_path, result_dir_name(args.mode, args, f"{weight_str}_{xa_sa}")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    n = 0
+    for key, item in iter_samples(args):
+        img = run_sample(args, pipe, key, item)
+        out_path = os.path.join(
+            out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
+        )
+        img.save(out_path)
+        print(f"[{key}] saved {out_path}")
+        n += 1
+    print(f"done: {n} samples -> {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""h-Edit-D / h-Edit-R with Prompt-to-Prompt control, as single lax.scans.
+
+Semantics parity: ``text-guided/inversion/p2p_h_edit.py``
+* ``h_Edit_p2p_explicit``  (:380-523)
+* ``h_Edit_p2p_implicit``  (:529-701) — the flagship PieBench-SOTA config.
+
+Per-step structure (implicit):
+1. base pass, controller OFF, batch-4 [x_orig, x_edit] x [null, src]
+   (:602-616) -> CFG eps_src_orig for BOTH branches -> reverse_step.
+2. per optimization loop k:
+   a. eps(x_opt, tt, src), controller OFF (:643-644)
+   b. CONTROLLED pass at tt.  Reference batch-4
+      [x_prev_orig, x_opt] x 2 with [null, null, src, tar] (:647-652); rows
+      (x_prev_orig, null) is consumed nowhere and is not needed by the
+      controller (which only reads the conditional half, ptp_classes.py:96-98),
+      so this framework issues batch-3 [x_opt(null); x_prev_orig(src),
+      x_opt(tar)] with cond_start=1 — identical numerics, 25% less UNet work.
+   c. CFG combos AGAINST uncond_out_tar (:658-660), correction, coeff,
+      L1-reconstruction pull for k>0 (:670-686), update (:692).
+   Only the LAST loop saves attention (save_attn flag, :636-640).
+3. LocalBlend step callback on [x_{t-1}^orig, x_{t-1}^edit] (:698-699).
+
+Attention-store plumbing: stored maps come back through flax's ``attn_store``
+mutable collection and are summed into the scan-carried LocalBlend state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hedit_tpu.control.base import NO_CONTROL
+from hedit_tpu.control.p2p import (
+    LocalBlendState,
+    P2PControl,
+    accumulate_store,
+    apply_local_blend,
+)
+from hedit_tpu.core.schedule import Schedule
+from hedit_tpu.edit.h_edit import HEditConfig, _l1_grad, _rms, make_step_grid
+
+
+def flatten_attn_store(tree) -> dict:
+    """Collect sown attention maps from the nested mutable collection into
+    {store_name: array} (sow wraps each value in a 1-tuple)."""
+    out = {}
+
+    def walk(node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                out[k] = v[0] if isinstance(v, tuple) else v
+
+    walk(tree)
+    return out
+
+
+def h_edit_p2p(
+    eps_fn,
+    schedule: Schedule,
+    xT: jnp.ndarray,
+    zs: jnp.ndarray,
+    *,
+    uncond_ctx: jnp.ndarray,
+    src_ctx: jnp.ndarray,
+    tar_ctx: jnp.ndarray,
+    cfg: HEditConfig,
+    after_skip_steps: int,
+    control: P2PControl,
+    local_blend: Optional[LocalBlendState] = None,
+    style_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """h-Edit +P2P (explicit or implicit by cfg.implicit).
+
+    eps_fn(x, t, ctx, control) -> eps or (eps, attn_store_tree) when the
+    control stores attention.  Returns (edited, reconstructed).
+    """
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+
+    ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, src_ctx], axis=0)
+    ctx3 = jnp.concatenate([uncond_ctx, src_ctx, tar_ctx], axis=0)
+
+    no_blend = local_blend is None
+    if local_blend is None:
+        # carry a dummy that is never touched (start_blend > N, no accumulate)
+        px = control.blend_px
+        local_blend = LocalBlendState(
+            alpha_layers=jnp.zeros((2, 77), jnp.float32),
+            store_sum=jnp.zeros((5, 2, 1, px, 77), jnp.float32),
+            start_blend=N + 2,
+            res=int(px**0.5),
+        )
+
+    def cfg_pair(e_u, e_c, scale):
+        return e_u + scale * (e_c - e_u)
+
+    def body(carry, inputs):
+        x_orig, x_edit, lb = carry
+        i, t, tt, z = inputs
+
+        # ---- 1. base: x_{t-1}^orig and x_{t-1}^base (controller OFF) ------ #
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        xin4 = jnp.concatenate([pair, pair], axis=0)
+        eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
+        eps_src_orig = cfg_pair(eps4[0:2], eps4[2:4], cfg.cfg_src)
+        x_prev_pair = schedule.reverse_step(
+            eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
+            is_ddim_inversion=cfg.is_ddim_inversion,
+        )
+        x_prev_orig, x_prev_base = x_prev_pair[0:1], x_prev_pair[1:2]
+
+        coeff = schedule.h_edit_coeff(
+            t, tt, cfg.eta, is_ddim_inversion=cfg.is_ddim_inversion
+        )
+
+        def controlled_call(x_base_row, x_edit_row, t_eval, save):
+            ctrl = dataclasses.replace(control, step=i, save_attn=save)
+            xin3 = jnp.concatenate([x_edit_row, x_base_row, x_edit_row], axis=0)
+            out = eps_fn(xin3, jnp.broadcast_to(t_eval, (3,)), ctx3, ctrl)
+            if save:
+                eps3, aux = out
+                return eps3, flatten_attn_store(aux)
+            return out, {}
+
+        if not cfg.implicit:
+            # ---- explicit (:475-514): correction at (x_t, t) ------------- #
+            cond_out_src = eps_fn(
+                x_edit, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL
+            )
+            eps3, store = controlled_call(x_orig, x_edit, t, True)
+            uncond_out_tar, cond_out_tar = eps3[0:1], eps3[2:3]
+            eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
+            eps_tar = cfg_pair(uncond_out_tar, cond_out_tar, cfg.cfg_tar)
+            x_opt = x_prev_base + coeff * (eps_tar - eps_src_edit)
+            if not no_blend:
+                lb = accumulate_store(lb, store)
+        else:
+            # ---- implicit (:631-692): optimize x_{t-1} at tt ------------- #
+            x_opt = x_prev_base
+            K = cfg.optimization_steps
+            for k in range(K):
+                save = k == K - 1
+                cond_out_src = eps_fn(
+                    x_opt, jnp.broadcast_to(tt, (1,)), src_ctx, NO_CONTROL
+                )
+                eps3, store = controlled_call(x_prev_orig, x_opt, tt, save)
+                uncond_out_tar, cond_out_tar = eps3[0:1], eps3[2:3]
+                eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
+                eps_tar = cfg_pair(uncond_out_tar, cond_out_tar, cfg.cfg_tar)
+                correction = eps_tar - eps_src_edit
+                if k > 0:
+                    g = _l1_grad(x_opt, x_prev_base)
+                    rho = _rms(correction) / (_rms(g) + 1e-8) * cfg.weight_reconstruction
+                    rec_term = x_opt - rho * g
+                else:
+                    rec_term = x_opt
+                x_opt = rec_term + coeff * correction
+                if style_fn is not None:
+                    # style reward step after the text update
+                    # (text-guided-n-style/inversion/h_edit.py:160-182)
+                    x_opt = style_fn(x_opt, eps_tar, tt, correction)
+                if save and not no_blend:
+                    lb = accumulate_store(lb, store)
+
+        # ---- 3. LocalBlend step callback (:698-699) ----------------------- #
+        pair_out = jnp.concatenate([x_prev_orig, x_opt], axis=0)
+        if not no_blend:
+            pair_out = apply_local_blend(lb, pair_out, i)
+        x_prev_orig, x_opt = pair_out[0:1], pair_out[1:2]
+
+        return (x_prev_orig, x_opt, lb), None
+
+    (x_orig, x_edit, _), _ = jax.lax.scan(
+        body, (xT, xT, local_blend), (steps, grid.ts, grid.tts, grid.zs)
+    )
+    return x_edit, x_orig

@@ -1,0 +1,214 @@
+"""Baseline editing methods under Plug-and-Play injection.
+
+Parity: ``text-guided/inversion/pnp_baselines.py`` —
+* EF / PnP-Inv + PnP (:317-392): pair sampling; conditional noise from a
+  batch-2 [source, target] call (PnP active), unconditional noise from
+  per-row batch-1 calls (PnP inactive by construction — docs.md:39-46).
+* NMG + PnP (:32-126): the NMG gradient step on the reconstruction branch
+  then the PnP pair step, eta=0.
+* Null-text + PnP (:130-238): per step, up-to-10 Adam iterations optimizing
+  the unconditional embedding toward the stored x_{t-1}^orig (lr
+  1e-2*(1-i/100), early stop at loss < 1e-5 + i*2e-5), then the pair step
+  using the optimized embedding; tar cfg scale on both rows (:231-234).
+* Negative-prompt + PnP (:244-309): the "uncond" embedding is simply the
+  source prompt embedding.
+
+All loops compile to a single lax.scan; the per-step Adam of null-text runs
+as a fixed-length fori loop with a stop flag reproducing the early-stopping
+semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hedit_tpu.control.base import NO_CONTROL
+from hedit_tpu.control.pnp import PnPControl
+from hedit_tpu.core.schedule import Schedule
+from hedit_tpu.edit.h_edit import make_step_grid
+
+
+def _pnp_pair_eps(eps_fn, x_pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar,
+                  qk_on, conv_on, uncond_override=None):
+    """(eps_src, eps_tar) with conditional batch-2 under PnP and per-row
+    unconditional batch-1 calls (injection-free)."""
+    ctrl = PnPControl(qk_on=qk_on, conv_on=conv_on)
+    ctx_pair = jnp.concatenate([src_ctx, tar_ctx], axis=0)
+    cond = eps_fn(x_pair, jnp.broadcast_to(t, (2,)), ctx_pair, ctrl)
+    u_ctx = uncond_ctx if uncond_override is None else uncond_override
+    u_src = eps_fn(x_pair[0:1], jnp.broadcast_to(t, (1,)), u_ctx, NO_CONTROL)
+    u_tar = eps_fn(x_pair[1:2], jnp.broadcast_to(t, (1,)), u_ctx, NO_CONTROL)
+    eps_src = u_src + cfg_tar * (cond[0:1] - u_src)
+    eps_tar = u_tar + cfg_tar * (cond[1:2] - u_tar)
+    return eps_src, eps_tar
+
+
+def ef_or_pnp_inv_w_pnp(
+    eps_fn, schedule: Schedule, xT, zs, *, uncond_ctx, src_ctx, tar_ctx,
+    cfg_src: float, cfg_tar: float, eta: float, is_ddim_inversion: bool,
+    after_skip_steps: int, qk_mask, conv_mask,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+
+    def body(carry, inputs):
+        x_orig, x_edit = carry
+        i, t, tt, z, qk_on, conv_on = inputs
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        ctrl = PnPControl(qk_on=qk_on, conv_on=conv_on)
+        ctx_pair = jnp.concatenate([src_ctx, tar_ctx], axis=0)
+        cond = eps_fn(pair, jnp.broadcast_to(t, (2,)), ctx_pair, ctrl)
+        u_src = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
+        u_tar = eps_fn(x_edit, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
+        eps_src = u_src + cfg_src * (cond[0:1] - u_src)
+        eps_tar = u_tar + cfg_tar * (cond[1:2] - u_tar)
+
+        x_prev_orig = schedule.reverse_step(
+            eps_src, t, x_orig, eta=eta, variance_noise=z,
+            is_ddim_inversion=is_ddim_inversion,
+        )
+        if is_ddim_inversion:
+            x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
+        else:
+            x_prev_edit = schedule.reverse_step(
+                eps_tar, t, x_edit, eta=eta, variance_noise=z,
+            )
+        return (x_prev_orig, x_prev_edit), None
+
+    (x_orig, x_edit), _ = jax.lax.scan(
+        body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask)
+    )
+    return x_edit, x_orig
+
+
+def nmg_pnp_loop(
+    eps_fn, schedule: Schedule, xT, xts_ori, zs, *, uncond_ctx, src_ctx,
+    tar_ctx, cfg_tar: float, after_skip_steps: int, qk_mask, conv_mask,
+    guidance_noise_map: float = 10.0, grad_scale: float = 5e3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+    gt_prev = xts_ori[::-1][1:]
+
+    def body(carry, inputs):
+        x_orig, x_edit = carry
+        i, t, tt, x_ori_gt, qk_on, conv_on = inputs
+
+        def loss_fn(x_in):
+            eps_u = eps_fn(x_in, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
+            x_pred = schedule.reverse_step(eps_u, t, x_in, eta=0.0)
+            return jnp.mean(jnp.abs(x_pred - x_ori_gt))
+
+        grad = -jax.grad(loss_fn)(x_orig)
+        eps_u = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
+        abar_t = jnp.take(schedule.alphas_cumprod, t)
+        eps_cond = eps_u - jnp.sqrt(1.0 - abar_t) * grad * grad_scale
+        eps_nmg = eps_u + guidance_noise_map * (eps_cond - eps_u)
+        x_orig = schedule.reverse_step(eps_nmg, t, x_orig, eta=0.0)
+
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        eps_src, eps_tar = _pnp_pair_eps(
+            eps_fn, pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar, qk_on, conv_on
+        )
+        x_prev_orig = schedule.reverse_step(eps_src, t, x_orig, eta=0.0)
+        x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
+        return (x_prev_orig, x_prev_edit), None
+
+    (x_orig, x_edit), _ = jax.lax.scan(
+        body, (xT, xT),
+        (steps, grid.ts, grid.tts, gt_prev[:, None], qk_mask, conv_mask),
+    )
+    return x_edit, x_orig
+
+
+def null_text_pnp(
+    eps_fn, schedule: Schedule, xT, xts_ori, zs, *, uncond_ctx, src_ctx,
+    tar_ctx, cfg_tar: float, after_skip_steps: int, qk_mask, conv_mask,
+    optimization_steps: int = 10, epsilon: float = 1e-5, lr_base: float = 1e-2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+    gt_prev = xts_ori[::-1][1:]
+    b1, b2, adam_eps = 0.9, 0.999, 1e-8
+
+    def body(carry, inputs):
+        x_orig, x_edit = carry
+        i, t, tt, xtm1_ori, qk_on, conv_on = inputs
+
+        cond_src = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL)
+        lr = lr_base * (1.0 - i.astype(jnp.float32) / 100.0)
+        thresh = epsilon + i.astype(jnp.float32) * 2e-5
+
+        def adam_step(j, state):
+            u, m, v, stopped = state
+
+            def loss_fn(uu):
+                eps_u = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uu, NO_CONTROL)
+                eps_cfg = eps_u + cfg_tar * (cond_src - eps_u)
+                x_pred = schedule.reverse_step(eps_cfg, t, x_orig, eta=0.0)
+                return jnp.mean((x_pred - xtm1_ori) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(u)
+            m2 = b1 * m + (1 - b1) * g
+            v2 = b2 * v + (1 - b2) * g * g
+            jf = j + 1
+            mhat = m2 / (1 - b1**jf)
+            vhat = v2 / (1 - b2**jf)
+            u2 = u - lr * mhat / (jnp.sqrt(vhat) + adam_eps)
+            new_stopped = jnp.logical_or(stopped, loss < thresh)
+            u_out = jnp.where(stopped, u, u2)
+            return (u_out, jnp.where(stopped, m, m2), jnp.where(stopped, v, v2),
+                    new_stopped)
+
+        u0 = uncond_ctx
+        u_opt, _, _, _ = jax.lax.fori_loop(
+            0, optimization_steps, adam_step,
+            (u0, jnp.zeros_like(u0), jnp.zeros_like(u0), jnp.array(False)),
+        )
+
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        eps_src, eps_tar = _pnp_pair_eps(
+            eps_fn, pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar, qk_on,
+            conv_on, uncond_override=u_opt,
+        )
+        x_prev_orig = schedule.reverse_step(eps_src, t, x_orig, eta=0.0)
+        x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
+        return (x_prev_orig, x_prev_edit), None
+
+    (x_orig, x_edit), _ = jax.lax.scan(
+        body, (xT, xT),
+        (steps, grid.ts, grid.tts, gt_prev[:, None], qk_mask, conv_mask),
+    )
+    return x_edit, x_orig
+
+
+def negative_prompt_pnp(
+    eps_fn, schedule: Schedule, xT, zs, *, uncond_ctx, src_ctx, tar_ctx,
+    cfg_tar: float, after_skip_steps: int, qk_mask, conv_mask,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+
+    def body(carry, inputs):
+        x_orig, x_edit = carry
+        i, t, tt, z, qk_on, conv_on = inputs
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        eps_src, eps_tar = _pnp_pair_eps(
+            eps_fn, pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar, qk_on,
+            conv_on, uncond_override=src_ctx,
+        )
+        x_prev_orig = schedule.reverse_step(eps_src, t, x_orig, eta=0.0)
+        x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
+        return (x_prev_orig, x_prev_edit), None
+
+    (x_orig, x_edit), _ = jax.lax.scan(
+        body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask)
+    )
+    return x_edit, x_orig

@@ -1,0 +1,142 @@
+"""Combined text + CLIP-style editing (text-guided-n-style workload).
+
+Parity: ``text-guided-n-style/inversion/h_edit.py:14-191`` — the p2p-implicit
+h-Edit loop with an extra style step per optimization loop: Tweedie x0 from
+the CFG target noise at tt, VAE decode, CLIP Gram residual vs the style
+image, Frobenius-norm loss, gradient step on x_{t-1} with an RMS-normalized
+step size rho = RMS(correction)/RMS(grad) * weight_edit_clip (:160-182).
+
+Also the EF+style baseline (``text-guided-n-style/inversion/ef.py:14-131``):
+pair sampling with the style gradient taken at x_t.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hedit_tpu.control.base import NO_CONTROL
+from hedit_tpu.control.p2p import LocalBlendState, P2PControl, accumulate_store, apply_local_blend
+from hedit_tpu.core.schedule import Schedule
+from hedit_tpu.edit.h_edit import HEditConfig, _rms, make_step_grid
+from hedit_tpu.edit.h_edit_p2p import flatten_attn_store, h_edit_p2p
+from hedit_tpu.rewards.clip_style import style_loss
+
+
+def make_style_step(vae_decode, vision_apply, ref_gram, schedule: Schedule,
+                    weight_edit_clip: float, clip_size: int = 224):
+    """Returns style_fn(x_opt, eps_tar, tt, correction) for h_edit_p2p."""
+
+    def style_fn(x_opt, eps_tar, tt, correction):
+        eps = jax.lax.stop_gradient(eps_tar)
+
+        def obj(x):
+            x0 = schedule.tweedie_x0(eps, tt, x)
+            img = vae_decode(x0)
+            return style_loss(vision_apply, img, ref_gram, size=clip_size)
+
+        g = jax.grad(obj)(x_opt)
+        rho = _rms(correction) / (_rms(g) + 1e-12) * weight_edit_clip
+        return x_opt - rho * g
+
+    return style_fn
+
+
+def h_edit_style(
+    eps_fn,
+    schedule: Schedule,
+    xT,
+    zs,
+    *,
+    uncond_ctx,
+    src_ctx,
+    tar_ctx,
+    cfg: HEditConfig,
+    after_skip_steps: int,
+    control: P2PControl,
+    local_blend: Optional[LocalBlendState] = None,
+    style_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Thin wrapper: p2p-implicit h-Edit + style step.  The style workload
+    disables LocalBlend and heuristic eq_params by policy
+    (``main_edit.py:178-180``); callers simply pass local_blend=None."""
+    return h_edit_p2p(
+        eps_fn, schedule, xT, zs, uncond_ctx=uncond_ctx, src_ctx=src_ctx,
+        tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=after_skip_steps,
+        control=control, local_blend=local_blend, style_fn=style_fn,
+    )
+
+
+def ef_style(
+    eps_fn,
+    schedule: Schedule,
+    xT,
+    zs,
+    *,
+    uncond_ctx,
+    src_ctx,
+    tar_ctx,
+    cfg_src: float,
+    cfg_tar: float,
+    eta: float = 1.0,
+    after_skip_steps: int,
+    control: Optional[P2PControl] = None,
+    vae_decode=None,
+    vision_apply=None,
+    ref_gram=None,
+    weight_edit_clip_for_ef: float = 1.5,
+    clip_size: int = 224,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EF + P2P + style (``text-guided-n-style/inversion/ef.py:14-131``).
+
+    Per step: P2P-controlled batch-4 pair step, then a style gradient taken at
+    x_t through a FRESH uncontrolled CFG call — the gradient flows through the
+    UNet, the Tweedie estimate, the VAE decoder, and the CLIP tower (:93-121);
+    rho normalizes by the raw CFG delta's RMS (:120-121); the update applies
+    to the already-computed x_{t-1}^edit (:124-125)."""
+    N = after_skip_steps
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+    ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, tar_ctx], axis=0)
+    ctx2_tar = jnp.concatenate([uncond_ctx, tar_ctx], axis=0)
+    with_style = vae_decode is not None and vision_apply is not None
+
+    def body(carry, inputs):
+        x_orig, x_edit = carry
+        i, t, tt, z = inputs
+        pair = jnp.concatenate([x_orig, x_edit], axis=0)
+        xin4 = jnp.concatenate([pair, pair], axis=0)
+        if control is not None:
+            ctrl = dataclasses.replace(control, step=i, save_attn=True, cond_start=2)
+            eps4, _ = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, ctrl)
+        else:
+            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
+        eps_src = eps4[0:1] + cfg_src * (eps4[2:3] - eps4[0:1])
+        eps_tar = eps4[1:2] + cfg_tar * (eps4[3:4] - eps4[1:2])
+
+        x_prev_orig = schedule.reverse_step(
+            eps_src, t, x_orig, eta=eta, variance_noise=z,
+        )
+        x_prev_edit = schedule.reverse_step(
+            eps_tar, t, x_edit, eta=eta, variance_noise=z,
+        )
+        if with_style:
+            def obj(x):
+                xin2 = jnp.concatenate([x, x], axis=0)
+                eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_tar, NO_CONTROL)
+                u, c = eps2[0:1], eps2[1:2]
+                eps_cfg = u + cfg_tar * (c - u)
+                x0 = schedule.tweedie_x0(eps_cfg, t, x)
+                img = vae_decode(x0)
+                return style_loss(vision_apply, img, ref_gram, size=clip_size), c - u
+
+            g, corr = jax.grad(obj, has_aux=True)(x_edit)
+            rho = _rms(corr) / (_rms(g) + 1e-12) * weight_edit_clip_for_ef
+            x_prev_edit = x_prev_edit - rho * g
+        return (x_prev_orig, x_prev_edit), None
+
+    (x_orig, x_edit), _ = jax.lax.scan(body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs))
+    return x_edit, x_orig

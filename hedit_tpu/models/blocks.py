@@ -64,19 +64,26 @@ class TimestepEmbedding(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
-    """GN32+silu+conv ×2 with timestep projection and optional skip conv."""
+    """GN32+silu+conv ×2 with timestep projection and optional skip conv.
+
+    ``feature_site`` names this block for the control's ``map_features`` hook,
+    applied to the conv branch AFTER conv2 and BEFORE the skip-add — the exact
+    injection point of PnP's conv control (``pnp_utils.py:132-142``)."""
 
     out_channels: int
     use_time_emb: bool = True
     groups: int = 32
     eps: float = 1e-5
+    feature_site: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None):
+    def __call__(self, x, temb=None, control=NO_CONTROL):
+        from hedit_tpu.ops.groupnorm import FusedGroupNorm
+
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                           act="silu", name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv1",
@@ -86,12 +93,14 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                           act="silu", name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv2",
         )(h)
+        if self.feature_site:
+            h = control.map_features(h, self.feature_site)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -218,10 +227,12 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, control=NO_CONTROL, use_pallas: bool = True):
+        from hedit_tpu.ops.groupnorm import FusedGroupNorm
+
         b, hgt, wid, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        h = FusedGroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
         h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(b, hgt * wid, inner)
         for i in range(self.depth):

@@ -173,8 +173,11 @@ class CrossAttnUpBlock(nn.Module):
         cfg = self.cfg
         for i in range(cfg.layers_per_block + 1):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock2D(self.out_channels, dtype=cfg.dtype, name=f"resnets_{i}")(x, temb)
-            x = control.map_features(x, f"up_{self.block_index}_resnet_{i}")
+            x = ResnetBlock2D(
+                self.out_channels, dtype=cfg.dtype,
+                feature_site=f"up_{self.block_index}_resnet_{i}",
+                name=f"resnets_{i}",
+            )(x, temb, control)
             if self.has_attn:
                 self_tag, cross_tag = self.tags[i]
                 x = Transformer2D(
@@ -239,8 +242,10 @@ class UNet2DCondition(nn.Module):
                 add_upsample=not last, block_index=bi, name=f"up_blocks_{bi}",
             )(x, skips, temb, encoder_hidden_states, control, use_pallas)
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        from hedit_tpu.ops.groupnorm import FusedGroupNorm
+
+        x = FusedGroupNorm(num_groups=32, epsilon=1e-5, act="silu",
+                           name="conv_norm_out")(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
             name="conv_out",

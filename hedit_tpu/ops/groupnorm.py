@@ -1,0 +1,125 @@
+"""Pallas TPU fused GroupNorm(+SiLU).
+
+The UNet's hottest non-matmul op: GN(32) + silu before every conv
+(SURVEY.md §5.7 north star).  XLA computes GN as separate
+reduce/normalize/mul HLOs; this kernel fuses stats, normalization, affine and
+the activation in one VMEM pass per batch row.
+
+Design: grid over batch; each program holds one [HW, C] slab in VMEM.
+Per-group statistics use the MXU via a one-hot [C, G] membership matmul
+(lane-dim segment reductions are VPU-hostile; a tiny matmul is free).
+Falls back to the jnp implementation off-TPU or when a slab exceeds the VMEM
+budget (VAE 512x512 resolutions) — the UNet latent path (<= 64x64) always
+fits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
+                         act: Optional[str] = None):
+    """jnp oracle: NHWC groupnorm with channel-grouped stats (torch parity)."""
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = (xg - mean) / jnp.sqrt(var + eps)
+    y = y.reshape(b, h, w, c) * scale + bias
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, groups: int,
+               eps: float, act: Optional[str]):
+    x = x_ref[...].astype(jnp.float32)  # [HW, C]
+    hw, c = x.shape
+    onehot = onehot_ref[...]  # [C, G] float32
+    n = hw * (c // groups)
+    s = jnp.sum(x, axis=0, keepdims=True)          # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    gs = jnp.dot(s, onehot, preferred_element_type=jnp.float32)    # [1, G]
+    gs2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)
+    mean_g = gs / n
+    var_g = gs2 / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast back to channels via onehot^T
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, onehot.T, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[...] + bias_ref[...]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "act", "interpret"))
+def group_norm_pallas(x, scale, bias, *, groups: int, eps: float = 1e-5,
+                      act: Optional[str] = None, interpret: bool = False):
+    b, h, w, c = x.shape
+    hw = h * w
+    onehot = np.zeros((c, groups), np.float32)
+    onehot[np.arange(c), np.arange(c) // (c // groups)] = 1.0
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, groups=groups, eps=eps, act=act),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, groups), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(x.reshape(b, hw, c), scale.reshape(1, c), bias.reshape(1, c),
+      jnp.asarray(onehot))
+    return out.reshape(b, h, w, c)
+
+
+def group_norm(x, scale, bias, *, groups: int, eps: float = 1e-5,
+               act: Optional[str] = None, use_pallas: bool = True,
+               interpret: bool = False):
+    """Fused GN(+act); routes to the Pallas kernel when profitable."""
+    b, h, w, c = x.shape
+    slab = h * w * c * 4
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if use_pallas and (on_tpu or interpret) and slab <= VMEM_BUDGET_BYTES \
+            and c % groups == 0 and c % 128 == 0:
+        return group_norm_pallas(x, scale, bias, groups=groups, eps=eps,
+                                 act=act, interpret=interpret)
+    return group_norm_reference(x, scale, bias, groups=groups, eps=eps, act=act)
+
+
+from flax import linen as nn  # noqa: E402
+
+
+class FusedGroupNorm(nn.Module):
+    """Drop-in for nn.GroupNorm (same 'scale'/'bias' params) with optional
+    fused activation, Pallas-backed on TPU."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    act: Optional[str] = None
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(
+            x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+            act=self.act, use_pallas=self.use_pallas,
+        )

@@ -1,0 +1,93 @@
+"""Evaluation-harness tests: metric oracles and plumbing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hedit_tpu.eval_harness import metrics as M
+from hedit_tpu.io_utils.images import mask_decode
+
+
+def test_psnr_mse_basics():
+    rng = np.random.RandomState(0)
+    a = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    assert M.calculate_psnr(a, a) == float("inf")
+    assert M.calculate_mse(a, a) == 0.0
+    b = np.clip(a.astype(int) + 10, 0, 255).astype(np.uint8)
+    p = M.calculate_psnr(a, b)
+    assert 20 < p < 40
+    # masked: zero mask makes everything equal
+    zero_mask = np.zeros((32, 32, 3), np.float32)
+    assert M.calculate_mse(a, b, zero_mask, zero_mask) == 0.0
+
+
+def test_ssim_oracle():
+    rng = np.random.RandomState(1)
+    a = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    assert abs(M.calculate_ssim(a, a) - 1.0) < 1e-5
+    noise = np.clip(a + rng.randn(64, 64, 3) * 40, 0, 255).astype(np.uint8)
+    s = M.calculate_ssim(a, noise)
+    assert 0.0 < s < 0.95
+
+
+def test_ssim_matches_torchmetrics():
+    torchmetrics = pytest.importorskip("torchmetrics")
+    import torch
+
+    rng = np.random.RandomState(2)
+    a = rng.rand(48, 48, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(48, 48, 3).astype(np.float32) * 0.1, 0, 1)
+    tm = torchmetrics.image.StructuralSimilarityIndexMeasure(data_range=1.0)
+    want = float(tm(torch.tensor(b).permute(2, 0, 1)[None],
+                    torch.tensor(a).permute(2, 0, 1)[None]))
+    got = M.calculate_ssim((b * 255).astype(np.uint8), (a * 255).astype(np.uint8))
+    assert abs(got - want) < 0.02  # uint8 quantization + border handling
+
+
+def test_mask_decode_borders_and_rle():
+    mask = mask_decode([10, 5], image_size=8)
+    assert mask.shape == (8, 8)
+    assert mask[0].all() and mask[-1].all()
+    assert mask[:, 0].all() and mask[:, -1].all()
+    flat = mask.reshape(-1)
+    assert flat[10] == 1 and flat[14] == 1
+
+
+def test_dino_structure_distance_zero_same_image():
+    import jax
+
+    from hedit_tpu.models.vit_dino import DINOViT, ViTConfig, structure_distance
+
+    cfg = ViTConfig.tiny()
+    model = DINOViT(cfg)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 224, 224, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img)
+    apply = lambda x: model.apply(params, x)  # noqa: E731
+    d_same = float(structure_distance(apply, img, img))
+    assert d_same < 1e-8
+    img2 = jnp.asarray(np.random.RandomState(1).rand(1, 224, 224, 3).astype(np.float32))
+    assert float(structure_distance(apply, img, img2)) > d_same
+
+
+def test_directional_clip_metric_sign():
+    # synthetic embedders: image embed = mean color; text embed maps 'white'
+    # and 'black' templates to +/- directions
+    from hedit_tpu.eval_harness.local_clip import DirectionalCLIPMetric
+
+    def image_embed(x):  # [B,224,224,3] normalized-ish
+        return jnp.mean(x, axis=(1, 2))
+
+    def text_embed(texts):
+        out = []
+        for t in texts:
+            v = np.ones(3, np.float32) if "white" in t else -np.ones(3, np.float32)
+            out.append(v)
+        return jnp.asarray(out)
+
+    metric = DirectionalCLIPMetric(image_embed, text_embed)
+    dark = np.zeros((224, 224, 3), np.float32)
+    light = np.ones((224, 224, 3), np.float32) * 255
+    # editing dark -> light should align with 'black' -> 'white'
+    assert metric(dark, "black", light, "white") > 0.9
+    assert metric(light, "white", dark, "black") > 0.9
+    assert metric(dark, "white", light, "black") < -0.9

@@ -1,0 +1,254 @@
+"""P2P control tests: alignment mappers, time alphas, controller edits,
+LocalBlend mask, and the h-Edit+P2P reconstruction-identity invariant."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hedit_tpu.control import p2p_prep
+from hedit_tpu.control.base import LayerTag
+from hedit_tpu.control.p2p import (
+    LocalBlendState,
+    P2PControl,
+    apply_local_blend,
+    build_p2p_control,
+    init_local_blend,
+)
+from hedit_tpu.edit.h_edit import HEditConfig
+from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
+from hedit_tpu.invert.ddpm import invert_ddpm
+from hedit_tpu.pipelines.sd import create_sd_pipeline
+
+
+def _tok():
+    from hedit_tpu.models.tokenizer import CLIPTokenizer
+
+    try:
+        return CLIPTokenizer()
+    except FileNotFoundError:
+        pytest.skip("BPE vocab file not available")
+
+
+# ------------------------------------------------------------ prep helpers #
+
+def test_word_inds():
+    tok = _tok()
+    inds = p2p_prep.get_word_inds("a photo of a cat", "cat", tok)
+    assert inds.tolist() == [5]
+    inds = p2p_prep.get_word_inds("a photo of a cat", "a", tok)
+    assert inds.tolist() == [1, 4]
+
+
+def test_replacement_mapper_identity_outside_edit():
+    tok = _tok()
+    m = p2p_prep.get_replacement_mapper(["a photo of a cat", "a photo of a dog"], tok)[0]
+    assert m.shape == (77, 77)
+    # identical words map 1:1; 'cat'->'dog' at index 5
+    assert m[1, 1] == 1 and m[2, 2] == 1 and m[5, 5] == 1
+    # row sums are 1 (doubly-stochastic-ish replacement)
+    np.testing.assert_allclose(m.sum(axis=1)[:10], np.ones(10), atol=1e-6)
+
+
+def test_refinement_mapper_insertion():
+    tok = _tok()
+    mapper, alphas = p2p_prep.get_refinement_mapper(
+        ["a photo of a cat", "a photo of a fluffy cat"], tok
+    )
+    mapper, alphas = mapper[0], alphas[0]
+    # 'fluffy' is new -> alpha 0 at its position; shared tokens alpha 1
+    assert alphas[5] == 0.0  # inserted token position
+    assert alphas[1] == 1.0 and alphas[4] == 1.0
+    # mapped positions point at the source indices for shared tokens
+    assert mapper[6] == 5  # 'cat' in target maps to 'cat' in source
+
+
+def test_time_words_alpha():
+    tok = _tok()
+    alpha = p2p_prep.get_time_words_attention_alpha(
+        ["a cat", "a dog"], 10, 0.4, tok
+    )
+    assert alpha.shape == (11, 1, 77)
+    assert alpha[0, 0, 0] == 1 and alpha[3, 0, 0] == 1
+    assert alpha[4, 0, 0] == 0  # int(0.4 * 11) = 4
+    # dict form with per-word override
+    alpha2 = p2p_prep.get_time_words_attention_alpha(
+        ["a cat", "a dog"], 10, {"default_": 0.4, "dog": 0.8}, tok
+    )
+    assert alpha2[6, 0, 2] == 1  # 'dog' token index 2 stays on longer
+
+
+def test_equalizer():
+    tok = _tok()
+    eq = p2p_prep.get_equalizer("a photo of a dog", ["dog"], [2.0], tok)
+    assert eq[5] == 2.0 and eq[1] == 1.0
+
+
+def test_blend_eq_heuristic():
+    blend, eq = p2p_prep.preprocess_blend_and_eq("a photo of a cat", "a photo of a dog")
+    assert blend == (("cat",), ("dog",))
+    assert eq == {"words": ("dog",), "values": (1.5,)}
+
+
+# ----------------------------------------------------------- controller ops #
+
+def _mk_ctrl(**kw):
+    defaults = dict(
+        step=jnp.array(0, jnp.int32),
+        cross_alpha=jnp.ones((11, 77)),
+        refine_mapper=jnp.arange(77, dtype=jnp.int64),
+        refine_alphas=jnp.ones(77),
+        replace_mapper=jnp.eye(77),
+        equalizer=jnp.ones(77),
+        mode="refine",
+        self_replace_until=5,
+        cond_start=1,
+        blend_px=16,
+    )
+    defaults.update(kw)
+    return P2PControl(**defaults)
+
+
+def test_edit_probs_cross_identity_when_alpha_zero():
+    ctrl = _mk_ctrl(cross_alpha=jnp.zeros((11, 77)))
+    tag = LayerTag(place="down", is_cross=True, num_pixels=16, index=0, store_index=2)
+    probs = jax.random.uniform(jax.random.PRNGKey(0), (3, 2, 16, 77))
+    out, _ = ctrl.edit_probs(probs, tag)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(probs), atol=1e-7)
+
+
+def test_edit_probs_self_replace_window():
+    tag = LayerTag(place="up", is_cross=False, num_pixels=16, index=1)
+    probs = jax.random.uniform(jax.random.PRNGKey(1), (3, 2, 16, 16))
+    ctrl = _mk_ctrl(step=jnp.array(2, jnp.int32))  # inside window (< 5)
+    out, _ = ctrl.edit_probs(probs, tag)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(probs[1]), atol=1e-7)
+    ctrl = _mk_ctrl(step=jnp.array(7, jnp.int32))  # outside window
+    out, _ = ctrl.edit_probs(probs, tag)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(probs[2]), atol=1e-7)
+
+
+def test_edit_probs_reweight_and_store():
+    ctrl = _mk_ctrl(use_reweight=True, equalizer=jnp.full((77,), 2.0))
+    tag = LayerTag(place="up", is_cross=True, num_pixels=16, index=0, store_index=0)
+    probs = jnp.ones((3, 2, 16, 77))
+    out, store = ctrl.edit_probs(probs, tag)
+    np.testing.assert_allclose(np.asarray(out[2]), 2.0 * np.ones((2, 16, 77)))
+    assert "up_cross_0" in store
+    assert store["up_cross_0"].shape == (2, 2, 16, 77)
+    # save_attn=False -> no store
+    ctrl_ns = dataclasses.replace(ctrl, save_attn=False)
+    _, store2 = ctrl_ns.edit_probs(probs, tag)
+    assert store2 == {}
+
+
+def test_needs_probs_routing():
+    ctrl = _mk_ctrl()
+    big_self = LayerTag(place="down", is_cross=False, num_pixels=4096, index=0)
+    small_self = LayerTag(place="down", is_cross=False, num_pixels=1024, index=1)
+    cross = LayerTag(place="down", is_cross=True, num_pixels=4096, index=2)
+    assert not ctrl.needs_probs(big_self)   # 64x64 self-attn stays fused
+    assert ctrl.needs_probs(small_self)
+    assert ctrl.needs_probs(cross)
+
+
+def test_local_blend_mask():
+    # synthetic maps: word 3 attends strongly to the left half
+    heads, res = 2, 4
+    store = np.zeros((5, 2, heads, res * res, 77), np.float32)
+    strong = np.zeros((res, res), np.float32)
+    strong[:, :2] = 10.0
+    store[:, :, :, :, 3] = strong.reshape(-1)[None, None, None, :]
+    alpha = np.zeros((2, 77), np.float32)
+    alpha[:, 3] = 1.0
+    lb = LocalBlendState(
+        alpha_layers=jnp.asarray(alpha), store_sum=jnp.asarray(store),
+        start_blend=0, threshold=0.3, res=res,
+    )
+    x_pair = jnp.stack([jnp.zeros((8, 8, 4)), jnp.ones((8, 8, 4))])
+    out = apply_local_blend(lb, x_pair, jnp.array(5, jnp.int32))
+    # edited row keeps edits only inside mask (left half), original elsewhere
+    assert float(out[1, 0, 0, 0]) == 1.0      # inside mask: edited
+    assert float(out[1, 0, 7, 0]) == 0.0      # outside: blended to original
+    assert float(out[0].sum()) == 0.0         # original row untouched
+    # inactive before start_blend
+    lb2 = dataclasses.replace(lb, start_blend=10)
+    out2 = apply_local_blend(lb2, x_pair, jnp.array(5, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x_pair))
+
+
+# ------------------------------------------------- end-to-end p2p editing #
+
+S = 8
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    pipe = create_sd_pipeline(tiny=True, num_inference_steps=S, seed=0)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32) * 0.2)
+    uncond = jnp.asarray(rng.randn(1, 77, 32).astype(np.float32) * 0.1)
+    src = jnp.asarray(rng.randn(1, 77, 32).astype(np.float32) * 0.1)
+    tar = jnp.asarray(rng.randn(1, 77, 32).astype(np.float32) * 0.1)
+    eps_fn = jax.jit(
+        lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl),
+        static_argnames=(),
+    )
+    eps_fn = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
+    inv = invert_ddpm(
+        lambda x, t, c: pipe.unet_eps(x, t, c), pipe.schedule, x0,
+        uncond_ctx=uncond, src_ctx=src, cfg_scale_src=1.0, eta=1.0,
+        rng=jax.random.PRNGKey(3), step_chunk=4,
+    )
+    return pipe, eps_fn, x0, uncond, src, tar, inv
+
+
+def _noop_ctrl():
+    # alpha=0 and empty self-window -> controller is a mathematical no-op
+    return _mk_ctrl(
+        cross_alpha=jnp.zeros((S + 1, 77)), self_replace_until=0, blend_px=16
+    )
+
+
+def test_p2p_reconstruction_identity_noop_controller(tiny_setup):
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=2.0, implicit=True)
+    edited, recon = h_edit_p2p(
+        eps_fn, pipe.schedule, inv.xT, inv.zs, uncond_ctx=uncond, src_ctx=src,
+        tar_ctx=src, cfg=cfg, after_skip_steps=S, control=_noop_ctrl(),
+    )
+    np.testing.assert_allclose(np.asarray(edited), np.asarray(x0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x0), atol=1e-3)
+
+
+def test_p2p_implicit_runs_with_active_controller(tiny_setup):
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True,
+                      optimization_steps=2)
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3,
+        use_reweight=True, equalizer=jnp.full((77,), 1.5), blend_px=16,
+    )
+    lb = LocalBlendState(
+        alpha_layers=jnp.asarray(np.eye(2, 77, k=3, dtype=np.float32)),
+        store_sum=jnp.zeros((5, 2, 2, 16, 77), jnp.float32),
+        start_blend=1, threshold=0.3, res=4,
+    )
+    edited, recon = h_edit_p2p(
+        eps_fn, pipe.schedule, inv.xT, inv.zs, uncond_ctx=uncond, src_ctx=src,
+        tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=ctrl, local_blend=lb,
+    )
+    assert bool(jnp.isfinite(edited).all()) and bool(jnp.isfinite(recon).all())
+    assert float(jnp.abs(edited - x0).max()) > 1e-3
+
+
+def test_p2p_explicit_runs(tiny_setup):
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=False)
+    edited, _ = h_edit_p2p(
+        eps_fn, pipe.schedule, inv.xT, inv.zs, uncond_ctx=uncond, src_ctx=src,
+        tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=_noop_ctrl(),
+    )
+    assert bool(jnp.isfinite(edited).all())
