@@ -86,6 +86,13 @@ class NoControl:
         injection site, ``pnp_utils.py:95-155``).  Identity by default."""
         return h
 
+    def override_attention(self, q, k, v, layer: "LayerTag"):
+        """Full-attention override hook for controls that must intervene in
+        LOGIT space (e.g. mask-guided MasaCtrl's fg/bg-separated attention,
+        ``masactrl/masactrl.py:93-150``).  Return None to use the standard
+        fused/probability paths."""
+        return None
+
 
 # Register NoControl as an empty pytree so it can cross jit boundaries freely.
 NO_CONTROL = NoControl()

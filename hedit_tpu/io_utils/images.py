@@ -78,7 +78,13 @@ def dataset_from_yaml(path: str) -> List[Dict]:
 
 def mask_decode(image_mask: List[int], image_size: int = 512) -> np.ndarray:
     """PieBench run-length mask decode; borders forced to 1
-    (``evaluation/evaluation.py:9-25``)."""
+    (``evaluation/evaluation.py:9-25``).  Uses the native C++ kernel when
+    available (hedit_tpu/native/dataio.cpp)."""
+    from hedit_tpu.io_utils.native import rle_decode_native
+
+    nat = rle_decode_native(image_mask, image_size)
+    if nat is not None:
+        return nat
     total = image_size * image_size
     mask = np.zeros(total, dtype=np.float32)
     for i in range(0, len(image_mask) - 1, 2):

@@ -76,6 +76,11 @@ def controlled_attention(
     kh = split_heads(k, heads)
     vh = split_heads(v, heads)
 
+    if hasattr(control, "override_attention"):
+        out = control.override_attention(qh, kh, vh, layer)
+        if out is not None:
+            return merge_heads(out).astype(q.dtype), {}
+
     qh, kh, vh = control.map_qkv(qh, kh, vh, layer)
 
     if control.needs_probs(layer):
