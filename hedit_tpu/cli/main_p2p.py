@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--xa", type=float, default=0.4)
     p.add_argument("--sa", type=float, default=0.35)
     p.add_argument("--step_chunk", type=int, default=10)
+    p.add_argument("--data_parallel", type=int, default=0, metavar="B",
+                   help="batch B samples per jit call, sharded over the mesh "
+                        "'data' axis (h_edit_R mode; SURVEY.md §5.8 sweep)")
     add_common_model_args(p)
     args = p.parse_args(argv)
     # eta asserts (reference :74-77)
@@ -245,6 +248,9 @@ def main(argv=None):
     )
     os.makedirs(out_dir, exist_ok=True)
 
+    if args.data_parallel > 0:
+        return run_data_parallel(args, pipe, out_dir)
+
     n = 0
     for key, item in iter_samples(args):
         img = run_sample(args, pipe, key, item)
@@ -256,6 +262,92 @@ def main(argv=None):
         n += 1
     print(f"done: {n} samples -> {out_dir}")
     return 0
+
+
+def run_data_parallel(args, pipe, out_dir):
+    """Sharded PieBench sweep: B samples per jit call over the mesh 'data'
+    axis (``hedit_tpu/parallel/sweep.py``; currently the h_edit_R path)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hedit_tpu.edit.h_edit import HEditConfig
+    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import edit_batch_fn
+
+    assert args.mode == "h_edit_R", "--data_parallel currently supports h_edit_R"
+    B = args.data_parallel
+    mesh = make_mesh(model_parallel=1)
+    N = args.num_diffusion_steps - args.skip
+    cfg = HEditConfig(
+        cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
+        cfg_tar=args.cfg_tar, eta=args.eta, implicit=args.implicit,
+        optimization_steps=args.optimization_steps,
+        weight_reconstruction=args.weight_reconstruction,
+    )
+    fn = jax.jit(edit_batch_fn(
+        pipe, cfg, after_skip_steps=N, cfg_scale_src=args.cfg_src,
+        inv_eta=args.eta, step_chunk=args.step_chunk,
+    ))
+    params = replicate(pipe.unet_params, mesh)
+
+    img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+    batch, total = [], 0
+    with jax.set_mesh(mesh):
+        for key, item in iter_samples(args):
+            batch.append((key, item))
+            if len(batch) < B:
+                continue
+            total += _flush_dp_batch(args, pipe, fn, params, mesh, batch,
+                                     out_dir, img_size)
+            batch = []
+        if batch:
+            while len(batch) < B:  # pad the tail batch
+                batch.append(batch[-1])
+            total += _flush_dp_batch(args, pipe, fn, params, mesh, batch,
+                                     out_dir, img_size)
+    print(f"done (data-parallel): {total} samples -> {out_dir}")
+    return 0
+
+
+def _flush_dp_batch(args, pipe, fn, params, mesh, batch, out_dir, img_size):
+    import jax
+    import numpy as np
+
+    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.parallel.mesh import shard_batch
+
+    x0s, us, ss, ts = [], [], [], []
+    for key, item in batch:
+        img = jnp.asarray(load_image(item["image_path"], size=img_size))
+        x0s.append(pipe.vae_encode(img)[0])
+        src = item["original_prompt"].replace("[", "").replace("]", "")
+        tar = item["editing_prompt"].replace("[", "").replace("]", "")
+        e = encode_prompts(pipe, ["", src, tar], args.tiny)
+        us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+    B = len(batch)
+    rngs = jax.random.split(jax.random.PRNGKey(0), B)
+    out = fn(
+        params,
+        shard_batch(jnp.stack(x0s), mesh),
+        shard_batch(jnp.stack(us), mesh),
+        shard_batch(jnp.stack(ss), mesh),
+        shard_batch(jnp.stack(ts), mesh),
+        shard_batch(rngs, mesh),
+    )
+    seen = set()
+    for (key, item), latent in zip(batch, out):
+        if key in seen:
+            continue  # tail padding
+        seen.add(key)
+        img = to_pil(np.asarray(pipe.vae_decode(latent[None])))
+        out_path = os.path.join(
+            out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
+        )
+        img.save(out_path)
+        print(f"[{key}] saved {out_path}")
+    return len(seen)
 
 
 if __name__ == "__main__":
