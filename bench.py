@@ -13,13 +13,16 @@ Weights are seeded (no pretrained checkpoints in this zero-egress image);
 FLOP/byte traffic, and therefore wall-clock, match the real model exactly.
 Compute dtype bfloat16 (MXU-native), posterior math float32.
 
-Execution structure: two modes.
-* scan (default): the library's fused lax.scan pipeline in ONE jit with
-  params passed as an ARGUMENT (closing over concrete params bakes 3.4GB of
-  constants into the HLO, which is what broke the axon remote-compile
-  service on the first attempt).
-* hostloop (fallback, HEDIT_BENCH_MODE=hostloop): a host loop over three
-  shared UNet executables — used if the fused compile fails.
+Execution structure: two modes (HEDIT_BENCH_MODE).
+* hostloop (default): a host loop over three shared UNet executables
+  (batch-4 plain, batch-1 plain, batch-3 P2P-controlled) plus small math
+  kernels — the mode that works through the axon remote-compile tunnel.
+* scan: the library's fused lax.scan pipeline in ONE jit with params passed
+  as an ARGUMENT.  Closing over concrete params bakes 3.4GB of constants
+  into the HLO (breaks the remote compiler outright); even without
+  constants the fused 50-step graph still fails the axon remote-compile
+  service, so this stays opt-in until a local compiler is available.  On a
+  real pod the scan path is the preferred zero-host-sync route.
 
 Baseline for ``vs_baseline``: the reference publishes NO wall-clock numbers
 (timing commented out, ``main_p2p.py:149-150,268-272``).  We use an estimated
@@ -97,6 +100,56 @@ def main():
         start_blend=int(0.2 * S), res=16,
     )
 
+    # ---------------------------- split mode ------------------------------- #
+    def run_split():
+        """Inversion scan and edit scan as TWO jits (2 dispatches/image).
+
+        The all-in-one jit fails the axon remote compiler; each half contains
+        at most two UNet instances and compiles."""
+        from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
+        from hedit_tpu.invert.ddpm import invert_ddpm
+
+        @jax.jit
+        def invert_jit(params, w0, key):
+            def eps_plain(x, t, c):
+                return unet.apply(params, x, t, c)
+
+            inv = invert_ddpm(
+                eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src,
+                cfg_scale_src=1.0, eta=1.0, rng=key, step_chunk=10,
+            )
+            return inv.xT, inv.zs
+
+        @jax.jit
+        def edit_jit(params, xT, zs):
+            def eps_ctrl(x, t, c, ctrl):
+                if getattr(ctrl, "stores_attn", False):
+                    out, aux = unet.apply(params, x, t, c, ctrl, True,
+                                          mutable=["attn_store"])
+                    return out, aux["attn_store"]
+                return unet.apply(params, x, t, c, ctrl)
+
+            edited, _ = h_edit_p2p(
+                eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=control,
+                local_blend=lb0,
+            )
+            return edited
+
+        def one(key):
+            xT, zs = invert_jit(params, w0, key)
+            return edit_jit(params, xT, zs)
+
+        out = one(jax.random.PRNGKey(0))
+        out.block_until_ready()
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = one(jax.random.PRNGKey(i + 1))
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
     # ---------------------------- scan mode -------------------------------- #
     def run_scan():
         from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
@@ -165,9 +218,9 @@ def main():
         return prev[0:1], prev[1:2]
 
     @jax.jit
-    def update_step(eps3, cond_src, t, tt, x_opt, lb, i, x_prev_orig):
+    def update_step(eps4c, t, tt, x_opt, lb, i, x_prev_orig):
         coeff = sched.h_edit_coeff(t, tt, 1.0)
-        u_tar, c_tar = eps3[0:1], eps3[2:3]
+        u_tar, cond_src, c_tar = eps4c[0:1], eps4c[1:2], eps4c[3:4]
         eps_se = u_tar + cfg.cfg_src_edit * (cond_src - u_tar)
         eps_ta = u_tar + cfg.cfg_tar * (c_tar - u_tar)
         x_opt = x_opt + coeff * (eps_ta - eps_se)
@@ -177,7 +230,7 @@ def main():
 
     ts_np = np.asarray(sched.timesteps)
     ctx4 = jnp.concatenate([uncond, uncond, src, src], axis=0)
-    ctx3 = jnp.concatenate([uncond, src, tar], axis=0)
+    ctx4c = jnp.concatenate([uncond, src, src, tar], axis=0)
 
     def edit_one(w0, key):
         # ---- inversion: 25 batch-4 calls (2 steps x CFG pair each) -------- #
@@ -207,16 +260,18 @@ def main():
                 jnp.full((4,), t, jnp.int32), ctx4,
             )
             x_prev_orig, x_opt = base_step(eps4, t, pair, zs_loop[i][None])
-            cond_src = eps_plain(params, x_opt, jnp.full((1,), tt, jnp.int32), src)
-            ctrl = dataclasses.replace(control, step=jnp.array(i, jnp.int32))
-            eps3, aux = eps_p2p(
-                params, jnp.concatenate([x_opt, x_prev_orig, x_opt], axis=0),
-                jnp.full((3,), tt, jnp.int32), ctx3, ctrl,
+            # one batch-4 controlled call; row 1 carries the controller-
+            # invisible source eps (cond_start=2) — 2 UNet dispatches/step
+            ctrl = dataclasses.replace(control, step=jnp.array(i, jnp.int32),
+                                       cond_start=2)
+            eps4c, aux = eps_p2p(
+                params,
+                jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),
+                jnp.full((4,), tt, jnp.int32), ctx4c, ctrl,
             )
             lb = accumulate_store(lb, flatten_attn_store(aux))
             x_orig, x_edit = update_step(
-                eps3, cond_src, t, tt, x_opt, lb, jnp.array(i, jnp.int32),
-                x_prev_orig,
+                eps4c, t, tt, x_opt, lb, jnp.array(i, jnp.int32), x_prev_orig,
             )
         return x_edit
 
@@ -231,12 +286,18 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    mode = os.environ.get("HEDIT_BENCH_MODE", "scan")
+    mode = os.environ.get("HEDIT_BENCH_MODE", "split")
     if mode == "scan":
         try:
             sec = run_scan()
         except Exception as e:  # remote-compile hiccups: fall back
-            print(f"# scan mode failed ({type(e).__name__}); hostloop fallback")
+            print(f"# scan mode failed: {type(e).__name__}: {str(e)[:500]}; hostloop fallback")
+            sec = run_hostloop()
+    elif mode == "split":
+        try:
+            sec = run_split()
+        except Exception as e:
+            print(f"# split mode failed: {type(e).__name__}: {str(e)[:300]}; hostloop fallback")
             sec = run_hostloop()
     else:
         sec = run_hostloop()

@@ -60,6 +60,35 @@ def encode_prompts(pipe, prompts, tiny: bool):
     return pipe.encode_token_ids(jnp.asarray(ids, jnp.int32))
 
 
+def jit_with_params(pipe, fn):
+    """Jit an edit flow with the UNet params passed as an ARGUMENT.
+
+    Closing a jit over the concrete 859M-param pytree bakes ~3.4GB of
+    constants into the HLO — large enough to crash the axon remote-compile
+    service (see bench.py).  ``fn(eps_plain, eps_ctrl, *args)`` receives
+    closures over the *traced* params instead.
+    """
+    import jax
+
+    unet = pipe.unet
+
+    @jax.jit
+    def wrapped(params, *args):
+        def eps_plain(x, t, c):
+            return unet.apply(params, x, t, c)
+
+        def eps_ctrl(x, t, c, ctrl):
+            if getattr(ctrl, "stores_attn", False):
+                out, aux = unet.apply(params, x, t, c, ctrl, True,
+                                      mutable=["attn_store"])
+                return out, aux["attn_store"]
+            return unet.apply(params, x, t, c, ctrl)
+
+        return fn(eps_plain, eps_ctrl, *args)
+
+    return lambda *args: wrapped(pipe.unet_params, *args)
+
+
 def result_dir_name(mode: str, args, extra: str = "") -> str:
     """Hyperparameters serialized into the output dir — the reference's
     de-facto experiment tracking (``main_p2p.py:102-103,132-133``)."""

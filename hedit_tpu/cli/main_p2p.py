@@ -193,18 +193,29 @@ def run_sample(args, pipe, key, item):
             blend_px=(sample // 4) ** 2,
         )
 
+    from hedit_tpu.cli.common import jit_with_params
+
     if args.mode in ("h_edit_R", "h_edit_D", "h_edit"):
-        edited, _ = h_edit_r(
-            lambda x, t, c: pipe.unet_eps(x, t, c), sched, xT, zs,
-            uncond_ctx=uncond, src_ctx=src_ctx, tar_ctx=tar_ctx, cfg=cfg,
-            after_skip_steps=N,
+        run = jit_with_params(
+            pipe,
+            lambda ep, ec, xT, zs, u, s, t: h_edit_r(
+                ep, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
+                cfg=cfg, after_skip_steps=N,
+            ),
         )
+        edited, _ = run(xT, zs, uncond, src_ctx, tar_ctx)
     elif args.mode in ("h_edit_R_p2p", "h_edit_D_p2p"):
-        edited, _ = h_edit_p2p(
-            eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src_ctx,
-            tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=N, control=control,
-            local_blend=local_blend,
+        run = jit_with_params(
+            pipe,
+            lambda ep, ec, xT, zs, u, s, t, ctl, lb: h_edit_p2p(
+                ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
+                cfg=cfg, after_skip_steps=N, control=ctl, local_blend=lb,
+            ) if lb is not None else h_edit_p2p(
+                ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
+                cfg=cfg, after_skip_steps=N, control=ctl,
+            ),
         )
+        edited, _ = run(xT, zs, uncond, src_ctx, tar_ctx, control, local_blend)
     elif args.mode == "ef":
         edited = ef_sample(
             eps_plain, sched, xT, zs, uncond_ctx=uncond, tar_ctx=tar_ctx,

@@ -77,11 +77,17 @@ def _encode_with_specials(tokenizer, text: str) -> List[int]:
 
 
 def get_mapper(x: str, y: str, tokenizer, max_len: int = MAX_LEN):
-    """-> (mapper [77] int64, alphas [77] float32) — ``seq_aligner.py:112-123``."""
+    """-> (mapper [77] int64, alphas [77] float32) — ``seq_aligner.py:112-123``.
+
+    Uses the native C++ NW aligner when available (same tie-break order)."""
     x_seq = _encode_with_specials(tokenizer, x)
     y_seq = _encode_with_specials(tokenizer, y)
-    tb = _global_align(x_seq, y_seq)
-    base = _aligned_mapper(x_seq, y_seq, tb)
+    from hedit_tpu.io_utils.native import nw_align_native
+
+    base = nw_align_native(x_seq, y_seq)
+    if base is None:
+        tb = _global_align(x_seq, y_seq)
+        base = _aligned_mapper(x_seq, y_seq, tb)
     alphas = np.ones(max_len, dtype=np.float32)
     alphas[: base.shape[0]] = (base[:, 1] != -1).astype(np.float32)
     mapper = np.zeros(max_len, dtype=np.int64)

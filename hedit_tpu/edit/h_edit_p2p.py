@@ -7,16 +7,16 @@ Semantics parity: ``text-guided/inversion/p2p_h_edit.py``
 Per-step structure (implicit):
 1. base pass, controller OFF, batch-4 [x_orig, x_edit] x [null, src]
    (:602-616) -> CFG eps_src_orig for BOTH branches -> reverse_step.
-2. per optimization loop k:
-   a. eps(x_opt, tt, src), controller OFF (:643-644)
-   b. CONTROLLED pass at tt.  Reference batch-4
-      [x_prev_orig, x_opt] x 2 with [null, null, src, tar] (:647-652); rows
-      (x_prev_orig, null) is consumed nowhere and is not needed by the
-      controller (which only reads the conditional half, ptp_classes.py:96-98),
-      so this framework issues batch-3 [x_opt(null); x_prev_orig(src),
-      x_opt(tar)] with cond_start=1 — identical numerics, 25% less UNet work.
-   c. CFG combos AGAINST uncond_out_tar (:658-660), correction, coeff,
-      L1-reconstruction pull for k>0 (:670-686), update (:692).
+2. per optimization loop k: ONE batch-4 CONTROLLED pass at tt with rows
+   [x_opt(null), x_opt(src), x_prev_orig(src), x_opt(tar)] and cond_start=2.
+   The reference issues a batch-1 controller-OFF call for eps(x_opt, tt, src)
+   (:643-644) plus a batch-4 controlled call whose (x_prev_orig, null) row is
+   consumed nowhere (:647-652).  The controller only reads/edits the rows
+   [cond_start, cond_start+2) (ptp_classes.py:96-98), so row 1 here rides
+   through the SAME pass untouched and IS the reference's separate
+   source-eps call — identical numerics, one less UNet dispatch per loop and
+   no wasted row.  CFG combos AGAINST uncond_out_tar (:658-660), correction,
+   coeff, L1-reconstruction pull for k>0 (:670-686), update (:692).
    Only the LAST loop saves attention (save_attn flag, :636-640).
 3. LocalBlend step callback on [x_{t-1}^orig, x_{t-1}^edit] (:698-699).
 
@@ -84,7 +84,7 @@ def h_edit_p2p(
     steps = jnp.arange(N, dtype=jnp.int32)
 
     ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, src_ctx], axis=0)
-    ctx3 = jnp.concatenate([uncond_ctx, src_ctx, tar_ctx], axis=0)
+    ctx4c = jnp.concatenate([uncond_ctx, src_ctx, src_ctx, tar_ctx], axis=0)
 
     no_blend = local_blend is None
     if local_blend is None:
@@ -120,21 +120,24 @@ def h_edit_p2p(
         )
 
         def controlled_call(x_base_row, x_edit_row, t_eval, save):
-            ctrl = dataclasses.replace(control, step=i, save_attn=save)
-            xin3 = jnp.concatenate([x_edit_row, x_base_row, x_edit_row], axis=0)
-            out = eps_fn(xin3, jnp.broadcast_to(t_eval, (3,)), ctx3, ctrl)
+            """-> (uncond_out_tar, cond_out_src, cond_out_tar, store)."""
+            ctrl = dataclasses.replace(control, step=i, save_attn=save,
+                                       cond_start=2)
+            xin4 = jnp.concatenate(
+                [x_edit_row, x_edit_row, x_base_row, x_edit_row], axis=0)
+            out = eps_fn(xin4, jnp.broadcast_to(t_eval, (4,)), ctx4c, ctrl)
             if save:
-                eps3, aux = out
-                return eps3, flatten_attn_store(aux)
-            return out, {}
+                eps4c, aux = out
+                store = flatten_attn_store(aux)
+            else:
+                eps4c, store = out, {}
+            return eps4c[0:1], eps4c[1:2], eps4c[3:4], store
 
         if not cfg.implicit:
             # ---- explicit (:475-514): correction at (x_t, t) ------------- #
-            cond_out_src = eps_fn(
-                x_edit, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL
+            uncond_out_tar, cond_out_src, cond_out_tar, store = controlled_call(
+                x_orig, x_edit, t, True
             )
-            eps3, store = controlled_call(x_orig, x_edit, t, True)
-            uncond_out_tar, cond_out_tar = eps3[0:1], eps3[2:3]
             eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
             eps_tar = cfg_pair(uncond_out_tar, cond_out_tar, cfg.cfg_tar)
             x_opt = x_prev_base + coeff * (eps_tar - eps_src_edit)
@@ -146,11 +149,9 @@ def h_edit_p2p(
             K = cfg.optimization_steps
             for k in range(K):
                 save = k == K - 1
-                cond_out_src = eps_fn(
-                    x_opt, jnp.broadcast_to(tt, (1,)), src_ctx, NO_CONTROL
+                uncond_out_tar, cond_out_src, cond_out_tar, store = (
+                    controlled_call(x_prev_orig, x_opt, tt, save)
                 )
-                eps3, store = controlled_call(x_prev_orig, x_opt, tt, save)
-                uncond_out_tar, cond_out_tar = eps3[0:1], eps3[2:3]
                 eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
                 eps_tar = cfg_pair(uncond_out_tar, cond_out_tar, cfg.cfg_tar)
                 correction = eps_tar - eps_src_edit

@@ -158,6 +158,9 @@ def _find_ckpt(subdir: str):
 
 
 def load_sd_weights(weights_dir, unet, vae, text, latent, ctx, img, ids):
+    """Load + convert + validate the SD towers, with an orbax cache so the
+    torch->Flax port runs once per checkpoint dir (SURVEY.md §5.4)."""
+    from hedit_tpu.io_utils.checkpoint import load_or_convert
     from hedit_tpu.io_utils.weights import (
         convert_clip_text, convert_unet, convert_vae, load_torch_state,
         validate_against,
@@ -167,14 +170,27 @@ def load_sd_weights(weights_dir, unet, vae, text, latent, ctx, img, ids):
     unet_t = jax.eval_shape(unet.init, rng, latent, jnp.array(1), ctx)
     vae_t = jax.eval_shape(vae.init, rng, img)
     text_t = jax.eval_shape(text.init, rng, ids)
+    cache = os.path.join(weights_dir, "flax_cache")
 
-    unet_p = convert_unet(load_torch_state(_find_ckpt(os.path.join(weights_dir, "unet"))))
-    validate_against(unet_t, unet_p, "unet")
-    vae_p = convert_vae(load_torch_state(_find_ckpt(os.path.join(weights_dir, "vae"))))
-    validate_against(vae_t, vae_p, "vae")
-    text_p = convert_clip_text(
-        load_torch_state(_find_ckpt(os.path.join(weights_dir, "text_encoder")))
-    )
-    validate_against(text_t, text_p, "text_encoder")
+    def cv_unet():
+        p = convert_unet(load_torch_state(_find_ckpt(os.path.join(weights_dir, "unet"))))
+        validate_against(unet_t, p, "unet")
+        return p
+
+    def cv_vae():
+        p = convert_vae(load_torch_state(_find_ckpt(os.path.join(weights_dir, "vae"))))
+        validate_against(vae_t, p, "vae")
+        return p
+
+    def cv_text():
+        p = convert_clip_text(
+            load_torch_state(_find_ckpt(os.path.join(weights_dir, "text_encoder")))
+        )
+        validate_against(text_t, p, "text_encoder")
+        return p
+
+    unet_p = load_or_convert(cache, "unet", cv_unet, template=unet_t)
+    vae_p = load_or_convert(cache, "vae", cv_vae, template=vae_t)
+    text_p = load_or_convert(cache, "text_encoder", cv_text, template=text_t)
     to_jnp = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
     return to_jnp(unet_p), to_jnp(vae_p), to_jnp(text_p)
