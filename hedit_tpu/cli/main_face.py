@@ -91,19 +91,33 @@ def main(argv=None):
         soft_mask = build_face_mask(seg)
 
         xT = inv.xts[N][None]
-        if args.mode == "h_edit_R":
-            edited = h_edit_r_face(
-                eps_fn, pipe.schedule, xT, inv.zs, id_loss_fn=id_fn,
-                lpips_loss_fn=lpips_fn, weight_edit_face=args.weight_edit_face,
-                eta=args.eta, optimization_steps=args.optimization_steps,
+
+        # jit the whole reward-guided loop with all frozen params as
+        # ARGUMENTS (see cli/common.py:jit_with_params for why)
+        from hedit_tpu.models.arcface import cosine_loss as _cos_loss
+
+        ref_embed = jax.lax.stop_gradient(pipe.id_embed(ref_img))
+
+        @jax.jit
+        def run_edit(unet_p, arc_p, lp_p, xT, zs, ref_embed, src_img):
+            eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+            idf = lambda img: _cos_loss(arc_p, pipe.arcface, img, ref_embed)  # noqa: E731
+            lpf = lambda img: jnp.mean(pipe.lpips.apply(lp_p, img, src_img))  # noqa: E731
+            if args.mode == "h_edit_R":
+                return h_edit_r_face(
+                    eps, pipe.schedule, xT, zs, id_loss_fn=idf,
+                    lpips_loss_fn=lpf, weight_edit_face=args.weight_edit_face,
+                    eta=args.eta, optimization_steps=args.optimization_steps,
+                    after_skip_steps=N, soft_face_mask=None,
+                )
+            return ef_face(
+                eps, pipe.schedule, xT, zs, id_loss_fn=idf, lpips_loss_fn=lpf,
+                weight_edit_face=args.weight_edit_face, eta=args.eta,
                 after_skip_steps=N, soft_face_mask=None,
             )
-        else:
-            edited = ef_face(
-                eps_fn, pipe.schedule, xT, inv.zs, id_loss_fn=id_fn,
-                lpips_loss_fn=lpips_fn, weight_edit_face=args.weight_edit_face,
-                eta=args.eta, after_skip_steps=N, soft_face_mask=None,
-            )
+
+        edited = run_edit(pipe.unet_params, pipe.arcface_params,
+                          pipe.lpips_params, xT, inv.zs, ref_embed, src_img)
 
         if args.post_processing:
             # mask blend (main_edit.py:211-212)

@@ -109,10 +109,18 @@ def ef_face(
     eta: float = 1.0,
     after_skip_steps: int,
     soft_face_mask: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
+    """remat=True rematerializes the UNet in the through-model VJP
+    (``jax.checkpoint``) — trades ~1 extra forward for O(depth) activation
+    memory; recommended at the 256x256 pixel resolution on small-HBM parts."""
     op, tm1s, zs_loop = _grid(schedule, zs, after_skip_steps)
     steps = jnp.arange(after_skip_steps, dtype=jnp.int32)
     N = after_skip_steps
+    if remat:
+        eps_grad_fn = jax.checkpoint(lambda x, t: eps_fn(x, t))
+    else:
+        eps_grad_fn = eps_fn
 
     def body(xt, inputs):
         i, t, tm1, z = inputs
@@ -128,7 +136,7 @@ def ef_face(
 
         # gradients at x_t THROUGH the UNet (enable_grad in reference, :64-67)
         def x0_of(x):
-            e = eps_fn(x, tb)
+            e = eps_grad_fn(x, tb)
             return (x - jnp.sqrt(1.0 - abar_t) * e) / jnp.sqrt(abar_t)
 
         if id_loss_fn is not None:

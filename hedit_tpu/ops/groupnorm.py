@@ -24,7 +24,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# Scoped-VMEM budget for one [HW, C] slab.  Empirically the compiler's scoped
+# allocation is ~4.6x the slab in the INPUT dtype (observed: 36.43M scoped for
+# a 7.86M f32 [1024, 1920] slab -> over the 16M limit, while a 2.6M bf16
+# [4096, 320] slab compiles and runs).  Budget with a safety multiplier.
+VMEM_BYTES = 16 * 1024 * 1024
+SLAB_MULTIPLIER = 4.7
 
 
 def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
@@ -93,9 +98,10 @@ def group_norm(x, scale, bias, *, groups: int, eps: float = 1e-5,
                interpret: bool = False):
     """Fused GN(+act); routes to the Pallas kernel when profitable."""
     b, h, w, c = x.shape
-    slab = h * w * c * 4
+    slab_bytes = h * w * c * x.dtype.itemsize
     on_tpu = jax.devices()[0].platform == "tpu"
-    if use_pallas and (on_tpu or interpret) and slab <= VMEM_BUDGET_BYTES \
+    if use_pallas and (on_tpu or interpret) \
+            and slab_bytes * SLAB_MULTIPLIER <= VMEM_BYTES \
             and c % groups == 0 and c % 128 == 0:
         return group_norm_pallas(x, scale, bias, groups=groups, eps=eps,
                                  act=act, interpret=interpret)
