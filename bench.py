@@ -244,6 +244,112 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    # --------------------------- batch mode -------------------------------- #
+    def run_batch(n_images: int):
+        """Throughput mode: vmap the fused step over N images (effective UNet
+        batch 4N).  This is the production shape for the 700-image PieBench
+        sweep; reports seconds per image = wall / N."""
+        from hedit_tpu.invert.ddpm import sample_xts_from_x0
+
+        ctx4l = jnp.concatenate([uncond, uncond, src, src], axis=0)
+        ctx4cl = jnp.concatenate([uncond, src, src, tar], axis=0)
+
+        def inv_chunk_one(params, x_chunk, t_chunk):
+            n = x_chunk.shape[0]
+            both = jnp.concatenate([x_chunk, x_chunk], axis=0)
+            t2 = jnp.concatenate([t_chunk, t_chunk], axis=0)
+            ctx = jnp.concatenate(
+                [jnp.broadcast_to(uncond, (n, 77, 768)),
+                 jnp.broadcast_to(src, (n, 77, 768))], axis=0)
+            eps = unet.apply(params, both, t2, ctx)
+            return eps[:n] + cfg.cfg_src * (eps[n:] - eps[:n])
+
+        inv_chunk_v = jax.jit(jax.vmap(inv_chunk_one, in_axes=(None, 0, None)))
+
+        def residuals_one(xts, eps_all):
+            ts = sched.timesteps
+            x_in = xts[1:][::-1]
+            x_prev = xts[:-1][::-1]
+            abar_t = jnp.take(sched.alphas_cumprod, ts).reshape(S, 1, 1, 1)
+            abar_prev = sched.abar_prev(ts).reshape(S, 1, 1, 1)
+            var = sched.variance(ts).reshape(S, 1, 1, 1)
+            x0p = (x_in - jnp.sqrt(1 - abar_t) * eps_all) / jnp.sqrt(abar_t)
+            mu = jnp.sqrt(abar_prev) * x0p + jnp.sqrt(1 - abar_prev - var) * eps_all
+            return ((x_prev - mu) / jnp.sqrt(var))[::-1]
+
+        residuals_v = jax.jit(jax.vmap(residuals_one))
+
+        def step_one(params, x_orig, x_edit, z, t, tt, i, lb):
+            pair = jnp.concatenate([x_orig, x_edit], axis=0)
+            eps4 = unet.apply(
+                params, jnp.concatenate([pair, pair], axis=0),
+                jnp.broadcast_to(t, (4,)), ctx4l,
+            )
+            eps_src = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
+            prev = sched.reverse_step(eps_src, t, pair, eta=1.0, variance_noise=z)
+            x_prev_orig, x_opt = prev[0:1], prev[1:2]
+            ctrl = dataclasses.replace(control, step=i, cond_start=2)
+            eps4c, aux = unet.apply(
+                params,
+                jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),
+                jnp.broadcast_to(tt, (4,)), ctx4cl, ctrl, True,
+                mutable=["attn_store"],
+            )
+            lb = accumulate_store(lb, flatten_attn_store(aux["attn_store"]))
+            coeff = sched.h_edit_coeff(t, tt, 1.0)
+            u_tar, cond_src, c_tar = eps4c[0:1], eps4c[1:2], eps4c[3:4]
+            eps_se = u_tar + cfg.cfg_src_edit * (cond_src - u_tar)
+            eps_ta = u_tar + cfg.cfg_tar * (c_tar - u_tar)
+            x_opt = x_opt + coeff * (eps_ta - eps_se)
+            pair_out = apply_local_blend(
+                lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), i)
+            return pair_out[0:1], pair_out[1:2], lb
+
+        step_v = jax.jit(jax.vmap(
+            step_one, in_axes=(None, 0, 0, 0, None, None, None, 0)))
+
+        ts_dev = sched.timesteps
+        tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
+        import dataclasses as _dc
+
+        lb0_v = _dc.replace(
+            lb0,
+            alpha_layers=jnp.broadcast_to(
+                lb0.alpha_layers, (n_images,) + lb0.alpha_layers.shape),
+            store_sum=jnp.broadcast_to(
+                lb0.store_sum, (n_images,) + lb0.store_sum.shape),
+        )
+
+        def one(key):
+            keys = jax.random.split(key, n_images)
+            xts_list = [sample_xts_from_x0(sched, w0, k)[0] for k in keys]
+            xts = jnp.stack(xts_list)          # [N, S+1, H, W, C]
+            x_in = xts[:, 1:][:, ::-1]
+            eps_chunks = []
+            for c0 in range(0, S, 2):
+                eps_chunks.append(
+                    inv_chunk_v(params, x_in[:, c0:c0 + 2], ts_dev[c0:c0 + 2]))
+            zs = residuals_v(xts, jnp.concatenate(eps_chunks, axis=1))
+            zs_loop = zs[:, ::-1]
+            x_orig = x_edit = xts[:, S][:, None]   # [N, 1, H, W, C]
+            lb = lb0_v
+            for i in range(S):
+                x_orig, x_edit, lb = step_v(
+                    params, x_orig, x_edit, zs_loop[:, i][:, None], ts_dev[i],
+                    tts_dev[i], jnp.array(i, jnp.int32), lb,
+                )
+            return x_edit
+
+        out = one(jax.random.PRNGKey(0))
+        out.block_until_ready()
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = one(jax.random.PRNGKey(i + 1))
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return min(times) / n_images
+
     # ---------------------------- scan mode -------------------------------- #
     def run_scan():
         from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
@@ -380,7 +486,7 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    mode = os.environ.get("HEDIT_BENCH_MODE", "stepjit")
+    mode = os.environ.get("HEDIT_BENCH_MODE", "batch")
     if mode == "scan":
         try:
             sec = run_scan()
@@ -398,6 +504,13 @@ def main():
             sec = run_stepjit()
         except Exception as e:
             print(f"# stepjit mode failed: {type(e).__name__}: {str(e)[:300]}; hostloop fallback")
+            sec = run_hostloop()
+    elif mode == "batch":
+        n = int(os.environ.get("HEDIT_BENCH_BATCH", "4"))
+        try:
+            sec = run_batch(n)
+        except Exception as e:
+            print(f"# batch mode failed: {type(e).__name__}: {str(e)[:300]}; hostloop fallback")
             sec = run_hostloop()
     else:
         sec = run_hostloop()

@@ -24,10 +24,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Scoped-VMEM budget for one [HW, C] slab.  Empirically the compiler's scoped
-# allocation is ~4.6x the slab in the INPUT dtype (observed: 36.43M scoped for
-# a 7.86M f32 [1024, 1920] slab -> over the 16M limit, while a 2.6M bf16
-# [4096, 320] slab compiles and runs).  Budget with a safety multiplier.
+# Empirical routing bounds from compiler observations on v5e:
+#   OOM:   f32 [1024,1920] (slab 7.86M -> 36.43M scoped),
+#          bf16 [1024,1280] (slab 2.62M -> 24.89M scoped)
+#   works: bf16 [4096,320] (slab 2.62M), [256,2560], [1024,960] and smaller —
+#          i.e. every site the end-to-end bench exercises under the 4.7x rule.
+# The scoped footprint is shape-dependent beyond a simple multiplier (the two
+# 2.62M slabs above differ 2x in scoped usage), so routing is the proven
+# multiplier rule plus a point-exclusion for the one observed OOM region:
+# wide channels at large spatial extent.
 VMEM_BYTES = 16 * 1024 * 1024
 SLAB_MULTIPLIER = 4.7
 
@@ -102,6 +107,7 @@ def group_norm(x, scale, bias, *, groups: int, eps: float = 1e-5,
     on_tpu = jax.devices()[0].platform == "tpu"
     if use_pallas and (on_tpu or interpret) \
             and slab_bytes * SLAB_MULTIPLIER <= VMEM_BYTES \
+            and not (c > 640 and h * w >= 1024) \
             and c % groups == 0 and c % 128 == 0:
         return group_norm_pallas(x, scale, bias, groups=groups, eps=eps,
                                  act=act, interpret=interpret)

@@ -252,3 +252,24 @@ def test_p2p_explicit_runs(tiny_setup):
         tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=_noop_ctrl(),
     )
     assert bool(jnp.isfinite(edited).all())
+
+
+def test_p2p_hedit_D_ddim_reconstruction_identity(tiny_setup):
+    """h-Edit-D branch: DDIM inversion + is_ddim_inversion=True + eta=1 with
+    un-normalized zs must reproduce x0 when the correction vanishes
+    (cfg_tar == cfg_src_edit, neutral controller)."""
+    from hedit_tpu.invert.ddim import invert_ddim
+
+    pipe, eps_fn, x0, uncond, src, tar, _ = tiny_setup
+    inv = invert_ddim(
+        lambda x, t, c: pipe.unet_eps(x, t, c), pipe.schedule, x0,
+        uncond_ctx=uncond, src_ctx=src, cfg_scale=1.0, step_chunk=4,
+    )
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=2.0,
+                      implicit=True, is_ddim_inversion=True, eta=1.0)
+    edited, recon = h_edit_p2p(
+        eps_fn, pipe.schedule, inv.xT, inv.zs, uncond_ctx=uncond, src_ctx=src,
+        tar_ctx=src, cfg=cfg, after_skip_steps=S, control=_noop_ctrl(),
+    )
+    np.testing.assert_allclose(np.asarray(edited), np.asarray(x0), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x0), atol=2e-3)
