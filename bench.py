@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
 A100_BASELINE_S = 11.0
@@ -348,6 +349,21 @@ def main():
             out = one(jax.random.PRNGKey(i + 1))
             out.block_until_ready()
             times.append(time.perf_counter() - t0)
+
+        prof_dir = os.environ.get("HEDIT_BENCH_PROFILE")
+        if prof_dir:
+            # device-plane breakdown of one full edit (stderr; stdout stays
+            # the single JSON line)
+            with jax.profiler.trace(prof_dir):
+                out = one(jax.random.PRNGKey(99))
+                out.block_until_ready()
+            from hedit_tpu.utils.xplane import top_ops
+            total_ps, rows = top_ops(prof_dir, n=25)
+            print(f"# device total {total_ps / 1e9:.1f} ms for {n_images} "
+                  f"images", file=sys.stderr)
+            for name, ms, cnt in rows:
+                print(f"#  {name[:76]:<78} {ms:8.2f} ms x{cnt}",
+                      file=sys.stderr)
         return min(times) / n_images
 
     # ---------------------------- scan mode -------------------------------- #

@@ -9,10 +9,19 @@ active control object does not need probabilities for a layer
 (``hedit_tpu/ops/attention.py``); P2P-edited layers fall back to the
 probability path by design.
 
-Layout: q [B, H, Sq, D], k/v [B, H, Sk, D].  Heads are folded into the grid.
-D is zero-padded to a lane multiple (128) outside the kernel — zeros change
-neither q.k^T nor p.v.  Sk is padded to a block multiple with an additive -inf
-mask derived in-kernel from the true length (static).
+Everything runs in the TRANSPOSED form, chosen from MXU cost probes on v5e
+(scripts/mm_probe.py + scripts/flash_variants.py):
+- The MXU charges contractions <= 128 at the full 128 depth, so the SD head
+  dims (40/80/160) need NO zero-padding — scores come from the
+  rhs/lhs-transposed dot forms on natural [S, D] blocks at identical cost.
+- Scores are built transposed, sT [blk_k, blk_q] = k_blk x q (keys on
+  sublanes), softmax reduces over sublanes, and p.v uses the lhs-transposed
+  form dot(v[blk_k, D], pT[blk_k, blk_q]) -> [D, blk_q]: the accumulator
+  never touches 128-padded output lanes.  Measured 1.41 ms vs 2.20 ms for
+  the padded v1 kernel on the res-64 self-attention ([4,8,4096,40], bf16).
+- The kernel emits outT [B*H, D, Sq]; one cheap XLA transpose restores
+  [B, H, Sq, D].  Dropping the d-padding also removes the HBM pad/slice
+  copies v1 paid outside the kernel.
 """
 
 from __future__ import annotations
@@ -27,34 +36,44 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, sk: int, blk_k: int):
-    """One (batch*head, q-block) program: online softmax over all K blocks."""
+def _flash_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float, sk: int,
+                  blk_k: int):
+    """One (batch*head, q-block) program: online softmax over all K blocks.
+
+    q_ref [blk_q, D]; k_ref/v_ref [Sk_pad, D]; ot_ref [D, blk_q].
+    Running max/denominator live as [1, blk_q] rows; the accumulator as
+    [D, blk_q] — no 128-lane padding anywhere.
+    """
     q = q_ref[...].astype(jnp.float32) * sm_scale  # [blk_q, D]
     blk_q, d = q.shape
     num_k_blocks = k_ref.shape[0] // blk_k
 
     def body(ki, carry):
-        acc, m_i, l_i = carry
+        acc_t, m_i, l_i = carry  # [D, blk_q], [1, blk_q], [1, blk_q]
         k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :].astype(jnp.float32)
         v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [blk_q, blk_k]
-        # mask padded keys (static sk)
-        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + ki * blk_k
-        s = jnp.where(col < sk, s, NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        s_t = jax.lax.dot_general(
+            k_blk, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk_k, blk_q] — keys on sublanes
+        # mask padded keys (static sk); key index is the sublane dim
+        row = jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0) + ki * blk_k
+        s_t = jnp.where(row < sk, s_t, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
+        p_t = jnp.exp(s_t - m_new)
         alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+        l_new = l_i * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+        pv_t = jax.lax.dot_general(
+            v_blk, p_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, blk_q]
+        return acc_t * alpha + pv_t, m_new, l_new
 
-    acc0 = jnp.zeros((blk_q, d), jnp.float32)
-    m0 = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((blk_q, 1), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
-    o_ref[...] = (acc / l_i).astype(o_ref.dtype)
+    acc0 = jnp.zeros((d, blk_q), jnp.float32)
+    m0 = jnp.full((1, blk_q), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, blk_q), jnp.float32)
+    acc_t, m_i, l_i = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    ot_ref[...] = (acc_t / l_i).astype(ot_ref.dtype)
 
 
 def _pad_to(x, axis, multiple):
@@ -68,7 +87,8 @@ def _pad_to(x, axis, multiple):
 
 
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
-def flash_attention(q, k, v, *, blk_q: int = 512, blk_k: int = 512, interpret: bool = False):
+def flash_attention(q, k, v, *, blk_q: int = 1024, blk_k: int = 1024,
+                    interpret: bool = False):
     """Softmax attention, numerically matching
     ``softmax(q k^T / sqrt(D)) v`` in float32.
 
@@ -81,31 +101,31 @@ def flash_attention(q, k, v, *, blk_q: int = 512, blk_k: int = 512, interpret: b
     blk_q = min(blk_q, max(128, sq))
     blk_k = min(blk_k, max(128, sk))
 
-    qp = _pad_to(_pad_to(q, 3, 128), 2, blk_q)
-    kp = _pad_to(_pad_to(k, 3, 128), 2, blk_k)
-    vp = _pad_to(_pad_to(v, 3, 128), 2, blk_k)
-    dp = qp.shape[3]
+    qp = _pad_to(q, 2, blk_q)
+    kp = _pad_to(k, 2, blk_k)
+    vp = _pad_to(v, 2, blk_k)
     sqp, skp = qp.shape[2], kp.shape[2]
 
-    qf = qp.reshape(b * h, sqp, dp)
-    kf = kp.reshape(b * h, skp, dp)
-    vf = vp.reshape(b * h, skp, dp)
+    qf = qp.reshape(b * h, sqp, d)
+    kf = kp.reshape(b * h, skp, d)
+    vf = vp.reshape(b * h, skp, d)
 
     grid = (b * h, sqp // blk_q)
-    out = pl.pallas_call(
+    out_t = pl.pallas_call(
         functools.partial(_flash_kernel, sm_scale=sm_scale, sk=sk, blk_k=blk_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, blk_q, dp), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((None, skp, dp), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, skp, dp), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, blk_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, blk_q, dp), lambda bh, i: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        out_specs=pl.BlockSpec((None, d, blk_q), lambda bh, i: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sqp), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out.reshape(b, h, sqp, dp)[:, :, :sq, :d]
+    out = jnp.swapaxes(out_t.reshape(b, h, d, sqp), 2, 3)
+    return out[:, :, :sq, :] if sqp != sq else out
 
 
 def reference_attention(q, k, v):

@@ -39,7 +39,13 @@ def test_tiny_vae_roundtrip_shapes():
     assert bool(jnp.isfinite(rec).all())
 
 
-@pytest.mark.parametrize("sq,sk,d", [(256, 256, 40), (128, 77, 64), (512, 512, 160)])
+@pytest.mark.parametrize("sq,sk,d", [
+    (256, 256, 40),    # SD res-64 head dim
+    (128, 77, 64),     # cross-attention: sk masked within one block
+    (512, 512, 160),   # SD res-8 head dim
+    (300, 300, 40),    # sq and sk both non-multiples of the block
+    (128, 400, 80),    # multi-k-block with a masked tail block
+])
 def test_flash_attention_oracle(sq, sk, d):
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(1, 2, sq, d).astype(np.float32))
