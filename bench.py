@@ -280,15 +280,21 @@ def main():
 
         residuals_v = jax.jit(jax.vmap(residuals_one))
 
-        def step_one(params, x_orig, x_edit, z, t, tt, i, lb):
-            pair = jnp.concatenate([x_orig, x_edit], axis=0)
-            eps4 = unet.apply(
-                params, jnp.concatenate([pair, pair], axis=0),
-                jnp.broadcast_to(t, (4,)), ctx4l,
+        ctx2l = jnp.concatenate([uncond, src], axis=0)
+
+        def step_one(params, x_edit, x_prev_orig, z, t, tt, i, lb):
+            # The source branch is the stored inversion trajectory: by the
+            # reconstruction identity (tested), reverse_step on xts[t] with
+            # the inversion residual z reproduces xts[t-1] exactly, so
+            # x_prev_orig is INDEXED, not recomputed — the base call shrinks
+            # from batch-4 to batch-2 (25% fewer UNet rows per step).
+            eps2 = unet.apply(
+                params, jnp.concatenate([x_edit, x_edit], axis=0),
+                jnp.broadcast_to(t, (2,)), ctx2l,
             )
-            eps_src = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
-            prev = sched.reverse_step(eps_src, t, pair, eta=1.0, variance_noise=z)
-            x_prev_orig, x_opt = prev[0:1], prev[1:2]
+            eps_src = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            x_opt = sched.reverse_step(eps_src, t, x_edit, eta=1.0,
+                                       variance_noise=z)
             ctrl = dataclasses.replace(control, step=i, cond_start=2)
             eps4c, aux = unet.apply(
                 params,
@@ -304,7 +310,7 @@ def main():
             x_opt = x_opt + coeff * (eps_ta - eps_se)
             pair_out = apply_local_blend(
                 lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), i)
-            return pair_out[0:1], pair_out[1:2], lb
+            return pair_out[1:2], lb
 
         step_v = jax.jit(jax.vmap(
             step_one, in_axes=(None, 0, 0, 0, None, None, None, 0)))
@@ -332,12 +338,14 @@ def main():
                     inv_chunk_v(params, x_in[:, c0:c0 + 2], ts_dev[c0:c0 + 2]))
             zs = residuals_v(xts, jnp.concatenate(eps_chunks, axis=1))
             zs_loop = zs[:, ::-1]
-            x_orig = x_edit = xts[:, S][:, None]   # [N, 1, H, W, C]
+            x_edit = xts[:, S][:, None]            # [N, 1, H, W, C]
             lb = lb0_v
             for i in range(S):
-                x_orig, x_edit, lb = step_v(
-                    params, x_orig, x_edit, zs_loop[:, i][:, None], ts_dev[i],
-                    tts_dev[i], jnp.array(i, jnp.int32), lb,
+                # source branch = stored trajectory point at t-1
+                x_prev_orig = xts[:, S - 1 - i][:, None]
+                x_edit, lb = step_v(
+                    params, x_edit, x_prev_orig, zs_loop[:, i][:, None],
+                    ts_dev[i], tts_dev[i], jnp.array(i, jnp.int32), lb,
                 )
             return x_edit
 
@@ -391,7 +399,7 @@ def main():
             edited, _ = h_edit_p2p(
                 eps_ctrl, sched, inv.xT, inv.zs, uncond_ctx=uncond,
                 src_ctx=src, tar_ctx=tar, cfg=cfg, after_skip_steps=S,
-                control=control, local_blend=lb0,
+                control=control, local_blend=lb0, xts=inv.xts[: S + 1],
             )
             return edited
 

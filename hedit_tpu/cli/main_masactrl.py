@@ -113,6 +113,7 @@ def main(argv=None):
                 eps_ctrl, sched, xT, inv.zs, uncond_ctx=uncond, src_ctx=src_ctx,
                 tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=N,
                 start_step=args.step, start_layer=args.layer,
+                xts=inv.xts[: N + 1],
             )
         else:
             # ef/pnp_inv + masactrl: pair sampling under the editor

@@ -207,15 +207,17 @@ def run_sample(args, pipe, key, item):
     elif args.mode in ("h_edit_R_p2p", "h_edit_D_p2p"):
         run = jit_with_params(
             pipe,
-            lambda ep, ec, xT, zs, u, s, t, ctl, lb: h_edit_p2p(
+            lambda ep, ec, xT, zs, xts, u, s, t, ctl, lb: h_edit_p2p(
                 ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
                 cfg=cfg, after_skip_steps=N, control=ctl, local_blend=lb,
+                xts=xts,
             ) if lb is not None else h_edit_p2p(
                 ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
-                cfg=cfg, after_skip_steps=N, control=ctl,
+                cfg=cfg, after_skip_steps=N, control=ctl, xts=xts,
             ),
         )
-        edited, _ = run(xT, zs, uncond, src_ctx, tar_ctx, control, local_blend)
+        edited, _ = run(xT, zs, inv.xts[: N + 1], uncond, src_ctx, tar_ctx,
+                        control, local_blend)
     elif args.mode == "ef":
         edited = ef_sample(
             eps_plain, sched, xT, zs, uncond_ctx=uncond, tar_ctx=tar_ctx,

@@ -125,7 +125,7 @@ def main(argv=None):
             edited, _ = h_edit_pnp(
                 eps_ctrl, sched, xT, inv.zs, uncond_ctx=uncond, src_ctx=src_ctx,
                 tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=N,
-                qk_mask=qk_mask, conv_mask=conv_mask,
+                qk_mask=qk_mask, conv_mask=conv_mask, xts=inv.xts[: N + 1],
             )
         elif args.mode in ("ef_pnp", "pnp_inv_w_pnp"):
             edited, _ = ef_or_pnp_inv_w_pnp(

@@ -68,6 +68,25 @@ def make_step_grid(schedule: Schedule, zs: jnp.ndarray, after_skip_steps: int) -
     return StepGrid(ts=op, tts=tts, zs=zs_loop)
 
 
+def traj_inputs(xts, xT, n_steps):
+    """(use_xts, x_orig_seq, x_prev_seq) for the stored-trajectory fast path.
+
+    When the inversion xts are supplied, the source branch of an edit loop is
+    the stored trajectory itself (reconstruction identity: reverse_step on
+    xts[t] with the inversion residual reproduces xts[t-1] exactly), so the
+    loop can INDEX the source latents instead of spending UNet rows
+    recomputing them.  Accepts [N+1, H, W, C] or [N+1] + xT.shape with
+    xts[N] == xT; returns per-step sequences ordered like the step grid.
+    """
+    if xts is None:
+        dummy = jnp.zeros((n_steps,) + xT.shape, xT.dtype)
+        return False, dummy, dummy
+    assert xts.shape[0] == n_steps + 1, (
+        f"xts must hold {n_steps + 1} trajectory points (got {xts.shape[0]})")
+    xts = xts.reshape((n_steps + 1,) + xT.shape)
+    return True, xts[1:][::-1], xts[:-1][::-1]
+
+
 def _rms(x):
     return jnp.sqrt(jnp.mean(x * x))
 

@@ -30,7 +30,7 @@ from hedit_tpu.control.base import NO_CONTROL
 from hedit_tpu.control.masactrl import MasaCtrlControl
 from hedit_tpu.control.pnp import PnPControl
 from hedit_tpu.core.schedule import Schedule
-from hedit_tpu.edit.h_edit import HEditConfig, make_step_grid
+from hedit_tpu.edit.h_edit import HEditConfig, make_step_grid, traj_inputs
 
 
 def h_edit_masactrl(
@@ -46,26 +46,40 @@ def h_edit_masactrl(
     after_skip_steps: int,
     start_step: int = 4,
     start_layer: int = 10,
+    xts=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N = after_skip_steps
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
     ctx4_base = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, src_ctx], axis=0)
     ctx4_edit = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, tar_ctx], axis=0)
+    ctx2_base = jnp.concatenate([uncond_ctx, src_ctx], axis=0)
+    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
 
     def body(carry, inputs):
         x_orig, x_edit = carry
-        i, t, tt, z = inputs
+        i, t, tt, z, _x_orig_t, x_prev_orig_t = inputs
 
-        pair = jnp.concatenate([x_orig, x_edit], axis=0)
-        xin4 = jnp.concatenate([pair, pair], axis=0)
-        eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
-        eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
-        x_prev_pair = schedule.reverse_step(
-            eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
-            is_ddim_inversion=cfg.is_ddim_inversion,
-        )
-        x_prev_orig, x_prev_base = x_prev_pair[0:1], x_prev_pair[1:2]
+        if use_xts:
+            # source branch = stored inversion trajectory (see traj_inputs)
+            x_prev_orig = x_prev_orig_t
+            xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
+            eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
+            eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            x_prev_base = schedule.reverse_step(
+                eps_src_base, t, x_edit, eta=cfg.eta, variance_noise=z,
+                is_ddim_inversion=cfg.is_ddim_inversion,
+            )
+        else:
+            pair = jnp.concatenate([x_orig, x_edit], axis=0)
+            xin4 = jnp.concatenate([pair, pair], axis=0)
+            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
+            eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
+            x_prev_pair = schedule.reverse_step(
+                eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
+                is_ddim_inversion=cfg.is_ddim_inversion,
+            )
+            x_prev_orig, x_prev_base = x_prev_pair[0:1], x_prev_pair[1:2]
 
         coeff = schedule.h_edit_coeff(
             t, tt, cfg.eta, is_ddim_inversion=cfg.is_ddim_inversion
@@ -87,7 +101,9 @@ def h_edit_masactrl(
 
         return (x_prev_orig, x_opt), None
 
-    (x_orig, x_edit), _ = jax.lax.scan(body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs))
+    (x_orig, x_edit), _ = jax.lax.scan(
+        body, (xT, xT),
+        (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq))
     return x_edit, x_orig
 
 
@@ -104,26 +120,40 @@ def h_edit_pnp(
     after_skip_steps: int,
     qk_mask: jnp.ndarray,    # [N] bool — from pnp_step_gates
     conv_mask: jnp.ndarray,  # [N] bool
+    xts=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N = after_skip_steps
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
     ctx4_base = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, src_ctx], axis=0)
+    ctx2_base = jnp.concatenate([uncond_ctx, src_ctx], axis=0)
     ctx_pair = jnp.concatenate([src_ctx, tar_ctx], axis=0)
+    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
 
     def body(carry, inputs):
         x_orig, x_edit = carry
-        i, t, tt, z, qk_on, conv_on = inputs
+        i, t, tt, z, qk_on, conv_on, _x_orig_t, x_prev_orig_t = inputs
 
-        pair = jnp.concatenate([x_orig, x_edit], axis=0)
-        xin4 = jnp.concatenate([pair, pair], axis=0)
-        eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
-        eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
-        x_prev_pair = schedule.reverse_step(
-            eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
-            is_ddim_inversion=cfg.is_ddim_inversion,
-        )
-        x_prev_orig, x_prev_base = x_prev_pair[0:1], x_prev_pair[1:2]
+        if use_xts:
+            # source branch = stored inversion trajectory (see traj_inputs)
+            x_prev_orig = x_prev_orig_t
+            xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
+            eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
+            eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            x_prev_base = schedule.reverse_step(
+                eps_src_base, t, x_edit, eta=cfg.eta, variance_noise=z,
+                is_ddim_inversion=cfg.is_ddim_inversion,
+            )
+        else:
+            pair = jnp.concatenate([x_orig, x_edit], axis=0)
+            xin4 = jnp.concatenate([pair, pair], axis=0)
+            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
+            eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
+            x_prev_pair = schedule.reverse_step(
+                eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
+                is_ddim_inversion=cfg.is_ddim_inversion,
+            )
+            x_prev_orig, x_prev_base = x_prev_pair[0:1], x_prev_pair[1:2]
 
         coeff = schedule.h_edit_coeff(
             t, tt, cfg.eta, is_ddim_inversion=cfg.is_ddim_inversion
@@ -144,6 +174,8 @@ def h_edit_pnp(
         return (x_prev_orig, x_opt), None
 
     (x_orig, x_edit), _ = jax.lax.scan(
-        body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask)
+        body, (xT, xT),
+        (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask,
+         x_orig_seq, x_prev_seq)
     )
     return x_edit, x_orig

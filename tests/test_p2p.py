@@ -273,3 +273,52 @@ def test_p2p_hedit_D_ddim_reconstruction_identity(tiny_setup):
     )
     np.testing.assert_allclose(np.asarray(edited), np.asarray(x0), atol=2e-3)
     np.testing.assert_allclose(np.asarray(recon), np.asarray(x0), atol=2e-3)
+
+
+def test_p2p_xts_indexed_source_branch_equivalence(tiny_setup):
+    """The stored-trajectory fast path (xts=...) must match the recompute
+    path: the source branch IS the inversion trajectory, so indexing it
+    changes nothing but the UNet row count (batch-2 base call)."""
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True,
+                      optimization_steps=2)
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3, blend_px=16,
+    )
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg=cfg,
+              after_skip_steps=S, control=ctrl)
+    edited_a, recon_a = h_edit_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs, **kw)
+    edited_b, recon_b = h_edit_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                                   xts=inv.xts[: S + 1], **kw)
+    # The recompute path's source branch drifts ~3e-5 from the stored
+    # trajectory (f32 over 8 steps); fed through the P2P source-replacement
+    # at cfg_tar=4 on a random-weight (chaotic) UNet that amplifies to ~2e-3
+    # in the edited output.  The indexed path is the exact one.
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
+    # indexed recon is the stored trajectory endpoint, exactly
+    np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
+                               atol=1e-6)
+
+
+def test_masactrl_pnp_xts_equivalence(tiny_setup):
+    from hedit_tpu.edit.h_edit_ctrl import h_edit_masactrl, h_edit_pnp
+    from hedit_tpu.control.pnp import pnp_step_gates
+
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True)
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg=cfg,
+              after_skip_steps=S)
+    a, _ = h_edit_masactrl(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                           start_step=2, start_layer=0, **kw)
+    b, _ = h_edit_masactrl(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                           start_step=2, start_layer=0,
+                           xts=inv.xts[: S + 1], **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
+
+    qk, conv = pnp_step_gates(S, 0.5, 0.5)
+    a, _ = h_edit_pnp(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                      qk_mask=qk, conv_mask=conv, **kw)
+    b, _ = h_edit_pnp(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                      qk_mask=qk, conv_mask=conv, xts=inv.xts[: S + 1], **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
