@@ -255,44 +255,32 @@ def main():
         ctx4l = jnp.concatenate([uncond, uncond, src, src], axis=0)
         ctx4cl = jnp.concatenate([uncond, src, src, tar], axis=0)
 
-        def inv_chunk_one(params, x_chunk, t_chunk):
-            n = x_chunk.shape[0]
-            both = jnp.concatenate([x_chunk, x_chunk], axis=0)
-            t2 = jnp.concatenate([t_chunk, t_chunk], axis=0)
-            ctx = jnp.concatenate(
-                [jnp.broadcast_to(uncond, (n, 77, 768)),
-                 jnp.broadcast_to(src, (n, 77, 768))], axis=0)
-            eps = unet.apply(params, both, t2, ctx)
-            return eps[:n] + cfg.cfg_src * (eps[n:] - eps[:n])
-
-        inv_chunk_v = jax.jit(jax.vmap(inv_chunk_one, in_axes=(None, 0, None)))
-
-        def residuals_one(xts, eps_all):
-            ts = sched.timesteps
-            x_in = xts[1:][::-1]
-            x_prev = xts[:-1][::-1]
-            abar_t = jnp.take(sched.alphas_cumprod, ts).reshape(S, 1, 1, 1)
-            abar_prev = sched.abar_prev(ts).reshape(S, 1, 1, 1)
-            var = sched.variance(ts).reshape(S, 1, 1, 1)
-            x0p = (x_in - jnp.sqrt(1 - abar_t) * eps_all) / jnp.sqrt(abar_t)
-            mu = jnp.sqrt(abar_prev) * x0p + jnp.sqrt(1 - abar_prev - var) * eps_all
-            return ((x_prev - mu) / jnp.sqrt(var))[::-1]
-
-        residuals_v = jax.jit(jax.vmap(residuals_one))
-
         ctx2l = jnp.concatenate([uncond, src], axis=0)
 
-        def step_one(params, x_edit, x_prev_orig, z, t, tt, i, lb):
-            # The source branch is the stored inversion trajectory: by the
-            # reconstruction identity (tested), reverse_step on xts[t] with
-            # the inversion residual z reproduces xts[t-1] exactly, so
-            # x_prev_orig is INDEXED, not recomputed — the base call shrinks
-            # from batch-4 to batch-2 (25% fewer UNet rows per step).
-            eps2 = unet.apply(
-                params, jnp.concatenate([x_edit, x_edit], axis=0),
-                jnp.broadcast_to(t, (2,)), ctx2l,
-            )
-            eps_src = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+        def step_one(params, x_edit, eps_orig, x_orig_t, x_prev_orig, t, tt,
+                     i, lb):
+            # Inversion-free stepping.  The source branch is the stored
+            # trajectory (reconstruction identity), so x_prev_orig is INDEXED;
+            # the inversion residual z is derived on the fly from eps_orig =
+            # eps(xts[t], t, src), which the PREVIOUS step's controlled call
+            # already computed as its controller-source row (P2P leaves that
+            # row's output untouched: p2p.py edit_probs writes only cs+1).
+            # The standalone inversion UNet pass disappears entirely.
+            if cfg.cfg_src == 1.0:
+                # uncond half cancels -> base call is a single row
+                eps_src = unet.apply(params, x_edit,
+                                     jnp.broadcast_to(t, (1,)), src)
+            else:
+                eps2 = unet.apply(
+                    params, jnp.concatenate([x_edit, x_edit], axis=0),
+                    jnp.broadcast_to(t, (2,)), ctx2l,
+                )
+                eps_src = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            if eps_orig is None:
+                eps_orig = eps_src  # step 0: x_edit == x_orig == xT
+            mu = sched.reverse_step(eps_orig, t, x_orig_t, eta=1.0,
+                                    variance_noise=jnp.zeros_like(x_orig_t))
+            z = (x_prev_orig - mu) / jnp.sqrt(sched.variance(t))
             x_opt = sched.reverse_step(eps_src, t, x_edit, eta=1.0,
                                        variance_noise=z)
             ctrl = dataclasses.replace(control, step=i, cond_start=2)
@@ -310,10 +298,14 @@ def main():
             x_opt = x_opt + coeff * (eps_ta - eps_se)
             pair_out = apply_local_blend(
                 lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), i)
-            return pair_out[1:2], lb
+            # row 2 (controller source, src @ x_prev_orig at tt) IS next
+            # step's inversion eps
+            return pair_out[1:2], eps4c[2:3], lb
 
+        step_v0 = jax.jit(jax.vmap(
+            step_one, in_axes=(None, 0, None, 0, 0, None, None, None, 0)))
         step_v = jax.jit(jax.vmap(
-            step_one, in_axes=(None, 0, 0, 0, None, None, None, 0)))
+            step_one, in_axes=(None, 0, 0, 0, 0, None, None, None, 0)))
 
         ts_dev = sched.timesteps
         tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
@@ -331,20 +323,16 @@ def main():
             keys = jax.random.split(key, n_images)
             xts_list = [sample_xts_from_x0(sched, w0, k)[0] for k in keys]
             xts = jnp.stack(xts_list)          # [N, S+1, H, W, C]
-            x_in = xts[:, 1:][:, ::-1]
-            eps_chunks = []
-            for c0 in range(0, S, 2):
-                eps_chunks.append(
-                    inv_chunk_v(params, x_in[:, c0:c0 + 2], ts_dev[c0:c0 + 2]))
-            zs = residuals_v(xts, jnp.concatenate(eps_chunks, axis=1))
-            zs_loop = zs[:, ::-1]
             x_edit = xts[:, S][:, None]            # [N, 1, H, W, C]
             lb = lb0_v
+            eps_orig = None
             for i in range(S):
-                # source branch = stored trajectory point at t-1
+                # source branch = stored trajectory points at t and t-1
+                x_orig_t = xts[:, S - i][:, None]
                 x_prev_orig = xts[:, S - 1 - i][:, None]
-                x_edit, lb = step_v(
-                    params, x_edit, x_prev_orig, zs_loop[:, i][:, None],
+                sv = step_v0 if eps_orig is None else step_v
+                x_edit, eps_orig, lb = sv(
+                    params, x_edit, eps_orig, x_orig_t, x_prev_orig,
                     ts_dev[i], tts_dev[i], jnp.array(i, jnp.int32), lb,
                 )
             return x_edit

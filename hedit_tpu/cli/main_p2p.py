@@ -132,6 +132,12 @@ def run_sample(args, pipe, key, item):
     eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
     eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
 
+    # Inversion-free fast path (h_edit_p2p derive_zs): the edit loop rebuilds
+    # the residuals from its own controller-source row, so the DDPM inversion
+    # needs no UNet passes at all.
+    derive_zs = (args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
+                 and not is_ddim and args.implicit
+                 and args.cfg_src == 1.0 and eta > 0)
     if is_ddim:
         inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale=args.cfg_src, step_chunk=args.step_chunk)
@@ -139,7 +145,7 @@ def run_sample(args, pipe, key, item):
         inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale_src=args.cfg_src, eta=args.eta,
                           rng=jax.random.PRNGKey(args.device_num),
-                          step_chunk=args.step_chunk)
+                          step_chunk=args.step_chunk, skip_zs=derive_zs)
     xT = inv.xts[N][None] if inv.xts.ndim == 4 else inv.xts[N]
     zs = inv.zs
 
@@ -210,10 +216,11 @@ def run_sample(args, pipe, key, item):
             lambda ep, ec, xT, zs, xts, u, s, t, ctl, lb: h_edit_p2p(
                 ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
                 cfg=cfg, after_skip_steps=N, control=ctl, local_blend=lb,
-                xts=xts,
+                xts=xts, derive_zs=derive_zs,
             ) if lb is not None else h_edit_p2p(
                 ec, sched, xT, zs, uncond_ctx=u, src_ctx=s, tar_ctx=t,
                 cfg=cfg, after_skip_steps=N, control=ctl, xts=xts,
+                derive_zs=derive_zs,
             ),
         )
         edited, _ = run(xT, zs, inv.xts[: N + 1], uncond, src_ctx, tar_ctx,

@@ -60,21 +60,32 @@ def h_edit_masactrl(
         x_orig, x_edit = carry
         i, t, tt, z, _x_orig_t, x_prev_orig_t = inputs
 
+        # cfg_src == 1.0: the uncond rows cancel (u + 1.0*(c-u) == c) and
+        # are skipped at trace time.
         if use_xts:
             # source branch = stored inversion trajectory (see traj_inputs)
             x_prev_orig = x_prev_orig_t
-            xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
-            eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
-            eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            if cfg.cfg_src == 1.0:
+                eps_src_base = eps_fn(
+                    x_edit, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL)
+            else:
+                xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
+                eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
+                eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
             x_prev_base = schedule.reverse_step(
                 eps_src_base, t, x_edit, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,
             )
         else:
             pair = jnp.concatenate([x_orig, x_edit], axis=0)
-            xin4 = jnp.concatenate([pair, pair], axis=0)
-            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
-            eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
+            if cfg.cfg_src == 1.0:
+                ctx2src = jnp.concatenate([src_ctx, src_ctx], axis=0)
+                eps_src_orig = eps_fn(
+                    pair, jnp.broadcast_to(t, (2,)), ctx2src, NO_CONTROL)
+            else:
+                xin4 = jnp.concatenate([pair, pair], axis=0)
+                eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
+                eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
             x_prev_pair = schedule.reverse_step(
                 eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,
@@ -134,21 +145,32 @@ def h_edit_pnp(
         x_orig, x_edit = carry
         i, t, tt, z, qk_on, conv_on, _x_orig_t, x_prev_orig_t = inputs
 
+        # cfg_src == 1.0: the uncond rows cancel (u + 1.0*(c-u) == c) and
+        # are skipped at trace time.
         if use_xts:
             # source branch = stored inversion trajectory (see traj_inputs)
             x_prev_orig = x_prev_orig_t
-            xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
-            eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
-            eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
+            if cfg.cfg_src == 1.0:
+                eps_src_base = eps_fn(
+                    x_edit, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL)
+            else:
+                xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
+                eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2_base, NO_CONTROL)
+                eps_src_base = eps2[0:1] + cfg.cfg_src * (eps2[1:2] - eps2[0:1])
             x_prev_base = schedule.reverse_step(
                 eps_src_base, t, x_edit, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,
             )
         else:
             pair = jnp.concatenate([x_orig, x_edit], axis=0)
-            xin4 = jnp.concatenate([pair, pair], axis=0)
-            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
-            eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
+            if cfg.cfg_src == 1.0:
+                ctx2src = jnp.concatenate([src_ctx, src_ctx], axis=0)
+                eps_src_orig = eps_fn(
+                    pair, jnp.broadcast_to(t, (2,)), ctx2src, NO_CONTROL)
+            else:
+                xin4 = jnp.concatenate([pair, pair], axis=0)
+                eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4_base, NO_CONTROL)
+                eps_src_orig = eps4[0:2] + cfg.cfg_src * (eps4[2:4] - eps4[0:2])
             x_prev_pair = schedule.reverse_step(
                 eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,

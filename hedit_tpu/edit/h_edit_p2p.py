@@ -75,6 +75,7 @@ def h_edit_p2p(
     local_blend: Optional[LocalBlendState] = None,
     style_fn=None,
     xts: Optional[jnp.ndarray] = None,
+    derive_zs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """h-Edit +P2P (explicit or implicit by cfg.implicit).
 
@@ -88,8 +89,22 @@ def h_edit_p2p(
     the source row to itself), so the controller-OFF base call shrinks from
     batch-4 to batch-2 — 25% fewer UNet rows per step, identical numerics
     up to f32 accumulation order.
+
+    derive_zs: inversion-free stepping (requires xts, implicit, cfg_src=1,
+    eta>0).  The inversion residual z at step i is derived on the fly from
+    eps(xts[t_i], t_i, src) — which step i-1's controlled call already
+    computed as its controller-source row (P2P's edit_probs writes only the
+    target row, so that output is untouched; step 0's z comes from the base
+    call since x_edit == x_orig == xT there).  The standalone phase-2
+    inversion UNet pass becomes unnecessary: pass zs=None.
     """
     N = after_skip_steps
+    if derive_zs:
+        assert xts is not None and cfg.implicit and cfg.cfg_src == 1.0 \
+            and cfg.eta > 0, \
+            "derive_zs needs xts + implicit + cfg_src==1.0 + eta>0"
+        if zs is None:
+            zs = jnp.zeros((N,) + xT.shape[1:], xT.dtype)
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
 
@@ -115,25 +130,46 @@ def h_edit_p2p(
     ctx2 = jnp.concatenate([uncond_ctx, src_ctx], axis=0)
 
     def body(carry, inputs):
-        x_orig, x_edit, lb = carry
+        x_orig, x_edit, lb, eps_orig_c = carry
         i, t, tt, z, x_orig_t, x_prev_orig_t = inputs
 
         # ---- 1. base: x_{t-1}^orig and x_{t-1}^base (controller OFF) ------ #
+        # cfg_src == 1.0 (the PieBench config): u + 1.0*(c-u) == c, so the
+        # uncond rows cancel algebraically and are skipped at trace time.
         if use_xts:
             x_orig = x_orig_t
             x_prev_orig = x_prev_orig_t
-            xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
-            eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2, NO_CONTROL)
-            eps_src_base = cfg_pair(eps2[0:1], eps2[1:2], cfg.cfg_src)
+            if cfg.cfg_src == 1.0:
+                eps_src_base = eps_fn(
+                    x_edit, jnp.broadcast_to(t, (1,)), src_ctx, NO_CONTROL)
+            else:
+                xin2 = jnp.concatenate([x_edit, x_edit], axis=0)
+                eps2 = eps_fn(xin2, jnp.broadcast_to(t, (2,)), ctx2, NO_CONTROL)
+                eps_src_base = cfg_pair(eps2[0:1], eps2[1:2], cfg.cfg_src)
+            if derive_zs:
+                # inversion residual on the fly (see docstring)
+                eps_orig = jnp.where(i == 0, eps_src_base, eps_orig_c)
+                mu = schedule.reverse_step(
+                    eps_orig, t, x_orig_t, eta=cfg.eta,
+                    is_ddim_inversion=cfg.is_ddim_inversion,
+                )
+                denom = cfg.eta if cfg.is_ddim_inversion \
+                    else cfg.eta * jnp.sqrt(schedule.variance(t))
+                z = (x_prev_orig_t - mu) / denom
             x_prev_base = schedule.reverse_step(
                 eps_src_base, t, x_edit, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,
             )
         else:
             pair = jnp.concatenate([x_orig, x_edit], axis=0)
-            xin4 = jnp.concatenate([pair, pair], axis=0)
-            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
-            eps_src_orig = cfg_pair(eps4[0:2], eps4[2:4], cfg.cfg_src)
+            if cfg.cfg_src == 1.0:
+                ctx2src = jnp.concatenate([src_ctx, src_ctx], axis=0)
+                eps_src_orig = eps_fn(
+                    pair, jnp.broadcast_to(t, (2,)), ctx2src, NO_CONTROL)
+            else:
+                xin4 = jnp.concatenate([pair, pair], axis=0)
+                eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
+                eps_src_orig = cfg_pair(eps4[0:2], eps4[2:4], cfg.cfg_src)
             x_prev_pair = schedule.reverse_step(
                 eps_src_orig, t, pair, eta=cfg.eta, variance_noise=z,
                 is_ddim_inversion=cfg.is_ddim_inversion,
@@ -145,7 +181,8 @@ def h_edit_p2p(
         )
 
         def controlled_call(x_base_row, x_edit_row, t_eval, save):
-            """-> (uncond_out_tar, cond_out_src, cond_out_tar, store)."""
+            """-> (uncond_out_tar, cond_out_src, cond_out_tar,
+                   cond_src_at_base, store)."""
             ctrl = dataclasses.replace(control, step=i, save_attn=save,
                                        cond_start=2)
             xin4 = jnp.concatenate(
@@ -156,11 +193,12 @@ def h_edit_p2p(
                 store = flatten_attn_store(aux)
             else:
                 eps4c, store = out, {}
-            return eps4c[0:1], eps4c[1:2], eps4c[3:4], store
+            return eps4c[0:1], eps4c[1:2], eps4c[3:4], eps4c[2:3], store
 
+        eps_orig_next = eps_orig_c
         if not cfg.implicit:
             # ---- explicit (:475-514): correction at (x_t, t) ------------- #
-            uncond_out_tar, cond_out_src, cond_out_tar, store = controlled_call(
+            uncond_out_tar, cond_out_src, cond_out_tar, _, store = controlled_call(
                 x_orig, x_edit, t, True
             )
             eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
@@ -174,7 +212,7 @@ def h_edit_p2p(
             K = cfg.optimization_steps
             for k in range(K):
                 save = k == K - 1
-                uncond_out_tar, cond_out_src, cond_out_tar, store = (
+                uncond_out_tar, cond_out_src, cond_out_tar, eps_orig_next, store = (
                     controlled_call(x_prev_orig, x_opt, tt, save)
                 )
                 eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
@@ -200,10 +238,10 @@ def h_edit_p2p(
             pair_out = apply_local_blend(lb, pair_out, i)
         x_prev_orig, x_opt = pair_out[0:1], pair_out[1:2]
 
-        return (x_prev_orig, x_opt, lb), None
+        return (x_prev_orig, x_opt, lb, eps_orig_next), None
 
-    (x_orig, x_edit, _), _ = jax.lax.scan(
-        body, (xT, xT, local_blend),
+    (x_orig, x_edit, _, _), _ = jax.lax.scan(
+        body, (xT, xT, local_blend, jnp.zeros_like(xT)),
         (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq),
     )
     return x_edit, x_orig

@@ -35,6 +35,11 @@ def invert_ddim(
 
     def cfg_eps(x, t):
         n = x.shape[0]
+        if cfg_scale == 1.0:
+            # u + 1.0*(c-u) == c: skip the uncond half
+            t1 = t if t.ndim else jnp.broadcast_to(t, (n,))
+            return eps_fn(x, t1,
+                          jnp.broadcast_to(src_ctx, (n,) + src_ctx.shape[1:]))
         both = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0) if t.ndim else jnp.broadcast_to(t, (2 * n,))
         ctx = jnp.concatenate(

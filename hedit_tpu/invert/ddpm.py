@@ -59,17 +59,25 @@ def invert_ddpm(
     eta: float = 1.0,
     rng,
     step_chunk: int = 10,
+    skip_zs: bool = False,
 ) -> InversionResult:
     """Edit-friendly inversion (``inversion_forward_process_ddpm``, :54-167).
 
     eps_fn(x [B,H,W,C], t [B] int32, ctx [B,77,D]) -> eps.
     Steps are batched `step_chunk` at a time (2*chunk rows per UNet call when a
     source prompt is given: uncond half + cond half).
+
+    skip_zs=True: return zs=None and run NO UNet passes — the xts are pure
+    q-samples and the residuals are derivable on the fly by edit loops that
+    support derive_zs (h_edit_p2p), making the inversion UNet-free.
     """
     assert eta > 0, "edit-friendly inversion requires eta > 0 (reference asserts)"
     S = schedule.num_inference_steps
     ts = schedule.timesteps  # [S] descending; loop idx = S-1 .. 0 maps to ts[i]
     xts, noise_added = sample_xts_from_x0(schedule, x0, rng)
+    if skip_zs:
+        return InversionResult(xT=xts[S][None], zs=None, xts=xts,
+                               noise_added=noise_added)
 
     # At loop position i (timestep ts[i]): idx = S - i - 1;
     # x_t = xts[idx+1] = xts[S - i], x_{t-1} = xts[idx].
@@ -80,6 +88,10 @@ def invert_ddpm(
         n = x_chunk.shape[0]
         if src_ctx is None:
             return eps_fn(x_chunk, t_chunk, jnp.broadcast_to(uncond_ctx, (n,) + uncond_ctx.shape[1:]))
+        if cfg_scale_src == 1.0:
+            # u + 1.0*(c - u) == c: the uncond half cancels algebraically,
+            # halving the inversion's UNet rows (PieBench h-edit config)
+            return eps_fn(x_chunk, t_chunk, jnp.broadcast_to(src_ctx, (n,) + src_ctx.shape[1:]))
         both = jnp.concatenate([x_chunk, x_chunk], axis=0)
         t2 = jnp.concatenate([t_chunk, t_chunk], axis=0)
         ctx = jnp.concatenate(

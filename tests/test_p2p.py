@@ -322,3 +322,27 @@ def test_masactrl_pnp_xts_equivalence(tiny_setup):
     b, _ = h_edit_pnp(eps_fn, pipe.schedule, inv.xT, inv.zs,
                       qk_mask=qk, conv_mask=conv, xts=inv.xts[: S + 1], **kw)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
+
+
+def test_p2p_derive_zs_inversion_free_equivalence(tiny_setup):
+    """derive_zs=True (inversion-free): the z residuals are reconstructed
+    from the controlled call's source row, so results must match the
+    standard xts path run with the inversion's own zs."""
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True,
+                      optimization_steps=1)
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3, blend_px=16,
+    )
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg=cfg,
+              after_skip_steps=S, control=ctrl, xts=inv.xts[: S + 1])
+    edited_a, recon_a = h_edit_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs, **kw)
+    edited_b, recon_b = h_edit_p2p(eps_fn, pipe.schedule, inv.xT, None,
+                                   derive_zs=True, **kw)
+    # The derived z uses the controlled call's source-row eps (prob-path
+    # attention) vs the inversion's uncontrolled eps (fused path) — identical
+    # math, different f32 accumulation, amplified by the chaotic tiny UNet.
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
+                               atol=1e-6)
