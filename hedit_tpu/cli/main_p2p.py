@@ -136,11 +136,11 @@ def run_sample(args, pipe, key, item):
     # the residuals from its own controller-source row, so the DDPM inversion
     # needs no UNet passes at all.
     derive_zs = (args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
-                 and not is_ddim and args.implicit
-                 and args.cfg_src == 1.0 and eta > 0)
+                 and args.implicit and args.cfg_src == 1.0 and eta > 0)
     if is_ddim:
         inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
-                          cfg_scale=args.cfg_src, step_chunk=args.step_chunk)
+                          cfg_scale=args.cfg_src, step_chunk=args.step_chunk,
+                          skip_zs=derive_zs)
     else:
         inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale_src=args.cfg_src, eta=args.eta,

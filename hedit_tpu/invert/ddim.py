@@ -29,7 +29,12 @@ def invert_ddim(
     src_ctx,
     cfg_scale: float = 1.0,
     step_chunk: int = 10,
+    skip_zs: bool = False,
 ) -> InversionResult:
+    """skip_zs=True: run only phase 1 and return zs=None — the residuals are
+    derivable on the fly by edit loops that support derive_zs (the phase-2
+    eps(latents[t], t) evaluations are exactly the controlled calls'
+    controller-source rows)."""
     S = schedule.num_inference_steps
     ts = schedule.timesteps  # descending
 
@@ -65,6 +70,10 @@ def invert_ddim(
     xT, lat_traj = jax.lax.scan(fwd, x0, ts_asc)
     # latents list parity (:78-88): latents[0]=x0, latents[i+1]=after step i
     latents = jnp.concatenate([x0, lat_traj[:, 0]], axis=0)  # [S+1, H, W, C]
+
+    if skip_zs:
+        return InversionResult(xT=xT, zs=None, xts=latents,
+                               noise_added=jnp.zeros_like(latents))
 
     # ---- phase 2: residuals vs the trajectory (reference :102-129) -------- #
     # loop t desc, idx = S - pos(t) - 1: xt = latents[idx+1], xtm1 = latents[idx]

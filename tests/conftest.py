@@ -10,6 +10,16 @@ variable, so the platform must be forced via jax.config *after* import.
 """
 
 import os
+import resource
+
+# XLA's CPU compiler recurses deeply on large scan bodies (4-5 UNet calls per
+# step); with the default 8MB stack the suite segfaults inside
+# backend_compile_and_load once enough graphs have been compiled in one
+# process.  The hard limit is unlimited here — raise the soft limit so the
+# main-thread stack can grow.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 256 * 1024 * 1024:
+    resource.setrlimit(resource.RLIMIT_STACK, (256 * 1024 * 1024, _hard))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -21,3 +31,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler segfaults (stack/heap corruption in
+    backend_compile_and_load) once enough large scan graphs have been
+    compiled and retained in one process; dropping executables between test
+    modules keeps it healthy."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()

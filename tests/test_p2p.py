@@ -346,3 +346,36 @@ def test_p2p_derive_zs_inversion_free_equivalence(tiny_setup):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
                                atol=1e-6)
+
+
+def test_p2p_derive_zs_ddim_equivalence(tiny_setup):
+    """derive_zs under the DDIM-inversion branch (h-Edit-D): phase-2's
+    eps(latents[t], t) is rebuilt from the controller-source row."""
+    from hedit_tpu.invert.ddim import invert_ddim
+
+    pipe, eps_fn, x0, uncond, src, tar, _ = tiny_setup
+    inv = invert_ddim(
+        lambda x, t, c: pipe.unet_eps(x, t, c), pipe.schedule, x0,
+        uncond_ctx=uncond, src_ctx=src, cfg_scale=1.0, step_chunk=4,
+    )
+    inv_nz = invert_ddim(
+        lambda x, t, c: pipe.unet_eps(x, t, c), pipe.schedule, x0,
+        uncond_ctx=uncond, src_ctx=src, cfg_scale=1.0, step_chunk=4,
+        skip_zs=True,
+    )
+    assert inv_nz.zs is None
+    np.testing.assert_allclose(np.asarray(inv_nz.xts), np.asarray(inv.xts))
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True,
+                      is_ddim_inversion=True, eta=1.0)
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3, blend_px=16,
+    )
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg=cfg,
+              after_skip_steps=S, control=ctrl, xts=inv.xts[: S + 1])
+    edited_a, _ = h_edit_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs, **kw)
+    edited_b, recon_b = h_edit_p2p(eps_fn, pipe.schedule, inv_nz.xT, None,
+                                   derive_zs=True, **kw)
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
+                               atol=1e-6)
