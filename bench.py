@@ -258,7 +258,7 @@ def main():
         ctx2l = jnp.concatenate([uncond, src], axis=0)
 
         def step_one(params, x_edit, eps_orig, x_orig_t, x_prev_orig, t, tt,
-                     i, lb):
+                     ctrl, lb):
             # Inversion-free stepping.  The source branch is the stored
             # trajectory (reconstruction identity), so x_prev_orig is INDEXED;
             # the inversion residual z is derived on the fly from eps_orig =
@@ -283,7 +283,6 @@ def main():
             z = (x_prev_orig - mu) / jnp.sqrt(sched.variance(t))
             x_opt = sched.reverse_step(eps_src, t, x_edit, eta=1.0,
                                        variance_noise=z)
-            ctrl = dataclasses.replace(control, step=i, cond_start=2)
             eps4c, aux = unet.apply(
                 params,
                 jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),
@@ -297,7 +296,7 @@ def main():
             eps_ta = u_tar + cfg.cfg_tar * (c_tar - u_tar)
             x_opt = x_opt + coeff * (eps_ta - eps_se)
             pair_out = apply_local_blend(
-                lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), i)
+                lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), ctrl.step)
             # row 2 (controller source, src @ x_prev_orig at tt) IS next
             # step's inversion eps
             return pair_out[1:2], eps4c[2:3], lb
@@ -306,6 +305,19 @@ def main():
             step_one, in_axes=(None, 0, None, 0, 0, None, None, None, 0)))
         step_v = jax.jit(jax.vmap(
             step_one, in_axes=(None, 0, 0, 0, 0, None, None, None, 0)))
+
+        # static per-step edit gates: past these windows the P2P cross/self
+        # edits are the identity and those layers ride the fused path (the
+        # store layers keep the probability path; see P2PControl.needs_probs).
+        # 3 step-executable variants compile in total.
+        cross_alpha_np = np.asarray(control.cross_alpha)
+
+        def ctrl_for(i: int):
+            return dataclasses.replace(
+                control, step=jnp.array(i, jnp.int32), cond_start=2,
+                self_edit_active=i < control.self_replace_until,
+                cross_edit_active=bool(cross_alpha_np[i].any()),
+            )
 
         ts_dev = sched.timesteps
         tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
@@ -333,7 +345,7 @@ def main():
                 sv = step_v0 if eps_orig is None else step_v
                 x_edit, eps_orig, lb = sv(
                     params, x_edit, eps_orig, x_orig_t, x_prev_orig,
-                    ts_dev[i], tts_dev[i], jnp.array(i, jnp.int32), lb,
+                    ts_dev[i], tts_dev[i], ctrl_for(i), lb,
                 )
             return x_edit
 
@@ -473,9 +485,13 @@ def main():
             )
             x_prev_orig, x_opt = base_step(eps4, t, pair, zs_loop[i][None])
             # one batch-4 controlled call; row 1 carries the controller-
-            # invisible source eps (cond_start=2) — 2 UNet dispatches/step
-            ctrl = dataclasses.replace(control, step=jnp.array(i, jnp.int32),
-                                       cond_start=2)
+            # invisible source eps (cond_start=2) — 2 UNet dispatches/step.
+            # Static gates route identity-edit layers to the fused path.
+            ctrl = dataclasses.replace(
+                control, step=jnp.array(i, jnp.int32), cond_start=2,
+                self_edit_active=i < control.self_replace_until,
+                cross_edit_active=bool(np.asarray(control.cross_alpha)[i].any()),
+            )
             eps4c, aux = eps_p2p(
                 params,
                 jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),

@@ -60,6 +60,20 @@ class P2PControl:
     cond_start: int = _static(default=1)           # index of cond base row
     save_attn: bool = _static(default=True)
     blend_px: int = _static(default=256)           # (sample/4)^2 store filter
+    # Static step gates for host-loop drivers: when the caller KNOWS (at trace
+    # time) that the current step is past the self-replace window /
+    # cross-alpha window, the corresponding edit is the identity
+    # (ptp_classes.py:216-225 with alpha==0 / step >= self window) and the
+    # probability path can be skipped entirely for those layers.  Scan-based
+    # drivers leave both True (step is traced there) — bit-identical, just
+    # slower.  Cross STORE layers keep the probability path regardless, since
+    # LocalBlend accumulates maps every step.
+    self_edit_active: bool = _static(default=True)
+    cross_edit_active: bool = _static(default=True)
+    # First step index from which cross_alpha is all-zero (known statically by
+    # the factory); -1 = unknown -> treat the cross edit as always active.
+    # Lets scan drivers segment the edit loop into static windows.
+    cross_active_until: int = _static(default=-1)
 
     # ------------------------------------------------------------ protocol #
     @property
@@ -76,10 +90,22 @@ class P2PControl:
         if layer.place not in ("down", "mid", "up"):
             return False
         if layer.is_cross:
-            return True
+            if self.cross_edit_active:
+                return True
+            # past the cross-alpha window the edit is identity; probs are
+            # still needed where the attention store reads them
+            return self._is_store_layer(layer)
         # self-attn: edited + stored only at <= 32x32 tokens
         # (ptp_classes.py:194-200, :135-141)
-        return layer.num_pixels <= 32 * 32
+        return self.self_edit_active and layer.num_pixels <= 32 * 32
+
+    def _is_store_layer(self, layer: LayerTag) -> bool:
+        return (
+            self.save_attn
+            and layer.is_cross
+            and layer.num_pixels == self.blend_px
+            and layer.place in ("down", "up")
+        )
 
     def replace_cross(self, base: jnp.ndarray) -> jnp.ndarray:
         """The Replace/Refine core on the base map [H, Q, 77]."""
@@ -93,8 +119,18 @@ class P2PControl:
         self, probs: jnp.ndarray, layer: LayerTag
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         cs = self.cond_start
-        base, repl = probs[cs], probs[cs + 1]  # [H, Q, K]
+        new_repl, store = self.edit_pair(probs[cs], probs[cs + 1], layer)
+        return probs.at[cs + 1].set(new_repl), store
 
+    def edit_pair(
+        self, base: jnp.ndarray, repl: jnp.ndarray, layer: LayerTag
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """The P2P edit on just the (cond base, cond edit) rows [H, Q, K].
+
+        P2P reads row ``cond_start`` and writes row ``cond_start + 1`` only
+        (``ptp_classes.py:96-98, 202-227``); every other batch row's attention
+        is untouched, so callers may run those rows through the fused path and
+        materialize probabilities for this pair alone."""
         if layer.is_cross:
             if self.mode == "replace":
                 new_base = self.replace_cross(base)
@@ -112,18 +148,11 @@ class P2PControl:
             in_window = self.step < self.self_replace_until  # (:216-218 window)
             new_repl = jnp.where(in_window, base, repl)
 
-        out = probs.at[cs + 1].set(new_repl)
-
         store: Dict[str, jnp.ndarray] = {}
-        if (
-            self.save_attn
-            and layer.is_cross
-            and layer.num_pixels == self.blend_px
-            and layer.place in ("down", "up")
-        ):
+        if self._is_store_layer(layer):
             # post-edit cond half, [2, H, Q, 77] (storage-sharing semantics)
             store[layer.store_name] = jnp.stack([base, new_repl])
-        return out, store
+        return new_repl, store
 
 
 def build_p2p_control(
@@ -165,6 +194,9 @@ def build_p2p_control(
     else:
         self_replace_until = int(num_steps * self_replace_steps[1])
 
+    nz = np.flatnonzero(np.asarray(cross_alpha).any(axis=1))
+    cross_active_until = int(nz[-1] + 1) if nz.size else 0
+
     return P2PControl(
         step=jnp.zeros((), jnp.int32),
         cross_alpha=jnp.asarray(cross_alpha),
@@ -177,6 +209,7 @@ def build_p2p_control(
         self_replace_until=self_replace_until,
         cond_start=cond_start,
         blend_px=blend_px,
+        cross_active_until=cross_active_until,
     )
 
 

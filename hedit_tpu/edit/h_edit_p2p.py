@@ -129,7 +129,7 @@ def h_edit_p2p(
 
     ctx2 = jnp.concatenate([uncond_ctx, src_ctx], axis=0)
 
-    def body(carry, inputs):
+    def body_impl(control, carry, inputs):
         x_orig, x_edit, lb, eps_orig_c = carry
         i, t, tt, z, x_orig_t, x_prev_orig_t = inputs
 
@@ -240,8 +240,32 @@ def h_edit_p2p(
 
         return (x_prev_orig, x_opt, lb, eps_orig_next), None
 
-    (x_orig, x_edit, _, _), _ = jax.lax.scan(
-        body, (xT, xT, local_blend, jnp.zeros_like(xT)),
-        (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq),
-    )
+    # Segment the scan at the static control windows: past them the P2P
+    # cross/self edits are the identity, so those layers ride the fused
+    # attention path (see P2PControl.needs_probs) — identical numerics,
+    # fewer materialized probability tensors.  Unknown window (-1) or
+    # non-P2P controls fall back to one segment.
+    w_self = min(max(getattr(control, "self_replace_until", N), 0), N)
+    w_cross = getattr(control, "cross_active_until", -1)
+    w_cross = N if w_cross < 0 else min(w_cross, N)
+    can_gate = isinstance(control, P2PControl)
+    cuts = sorted({0, w_self, w_cross, N}) if can_gate else [0, N]
+
+    xs_all = (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq)
+    carry = (xT, xT, local_blend, jnp.zeros_like(xT))
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        if s >= e:
+            continue
+        seg_control = control
+        if can_gate:
+            seg_control = dataclasses.replace(
+                control,
+                self_edit_active=s < w_self,
+                cross_edit_active=s < w_cross,
+            )
+        carry, _ = jax.lax.scan(
+            lambda c, x, _ctl=seg_control: body_impl(_ctl, c, x),
+            carry, jax.tree_util.tree_map(lambda a: a[s:e], xs_all),
+        )
+    x_orig, x_edit = carry[0], carry[1]
     return x_edit, x_orig

@@ -84,6 +84,34 @@ def controlled_attention(
     qh, kh, vh = control.map_qkv(qh, kh, vh, layer)
 
     if control.needs_probs(layer):
+        edit_pair = getattr(control, "edit_pair", None)
+        cs = getattr(control, "cond_start", 0)
+        if edit_pair is not None and qh.shape[0] > 2:
+            # Row-split: P2P reads row cs and writes row cs+1 only, so
+            # probabilities are materialized for that pair alone; every other
+            # row rides the fused path.  Halves (batch-4) the prob-path
+            # QK/softmax work and cuts its PV to one row.
+            probs2 = attention_probs(qh[cs:cs + 2], kh[cs:cs + 2])  # [2,H,Q,K]
+            new_repl, store = edit_pair(probs2[0], probs2[1], layer)
+            out_edit = jnp.einsum(
+                "hqk,hkd->hqd", new_repl.astype(vh.dtype), vh[cs + 1]
+            )[None]
+            b = qh.shape[0]
+
+            def drop_edit_row(x):
+                if cs + 2 >= b:
+                    return x[:cs + 1]
+                return jnp.concatenate([x[:cs + 1], x[cs + 2:]], axis=0)
+
+            out_rest = fused_attention(
+                drop_edit_row(qh), drop_edit_row(kh), drop_edit_row(vh),
+                use_pallas=use_pallas,
+            )
+            parts = [out_rest[:cs + 1], out_edit]
+            if cs + 2 < qh.shape[0]:
+                parts.append(out_rest[cs + 1:])
+            out = jnp.concatenate(parts, axis=0)
+            return merge_heads(out).astype(q.dtype), store
         probs = attention_probs(qh, kh)  # [B, H, Sq, Sk] f32
         probs, store = control.edit_probs(probs, layer)
         out = jnp.einsum(

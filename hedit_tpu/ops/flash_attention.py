@@ -22,6 +22,15 @@ Everything runs in the TRANSPOSED form, chosen from MXU cost probes on v5e
 - The kernel emits outT [B*H, D, Sq]; one cheap XLA transpose restores
   [B, H, Sq, D].  Dropping the d-padding also removes the HBM pad/slice
   copies v1 paid outside the kernel.
+
+v3 (current) rations the VPU work that was serializing with the MXU
+(measured at [4,32,4096,40] bf16, the controlled-call hot shape):
+matmuls in the input dtype instead of fp32 (6.48 -> 5.89 ms), sm_scale
+folded into q and key-masking emitted only for unaligned Sk (-> 5.60),
+the softmax denominator riding the PV matmul as a ones-column of v and
+p cast to the matmul dtype at the exp (-> 5.39), blocks 2048x512
+(-> 5.28).  Charged-FLOP roof for that shape (QK contraction depth
+billed at 128 on the MXU) is ~3.7 ms.
 """
 
 from __future__ import annotations
@@ -43,37 +52,52 @@ def _flash_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float, sk: int,
     q_ref [blk_q, D]; k_ref/v_ref [Sk_pad, D]; ot_ref [D, blk_q].
     Running max/denominator live as [1, blk_q] rows; the accumulator as
     [D, blk_q] — no 128-lane padding anywhere.
+
+    MXU passes run in the INPUT dtype (bf16 in the UNet path) with float32
+    accumulation; softmax math (max, exp, rescale) stays float32.  The
+    kernel is VPU-bound at the hot shapes (the MXU work is ~3.7 ms of a
+    6.3 ms call at [4,32,4096,40]), so elementwise passes over the
+    [blk_k, blk_q] score tile are rationed: sm_scale is folded into q
+    (a [blk_q, D] tile, 25x fewer elements), and key-padding masks are
+    emitted only when Sk is not block-aligned (never, for the self-attn
+    shapes routed here — cross-attention takes the XLA path).
     """
-    q = q_ref[...].astype(jnp.float32) * sm_scale  # [blk_q, D]
+    q = q_ref[...] * jnp.asarray(sm_scale, q_ref.dtype)  # [blk_q, D]
     blk_q, d = q.shape
     num_k_blocks = k_ref.shape[0] // blk_k
+    mm_dtype = q.dtype
+    need_mask = k_ref.shape[0] != sk  # static: padded keys present?
 
     def body(ki, carry):
-        acc_t, m_i, l_i = carry  # [D, blk_q], [1, blk_q], [1, blk_q]
-        k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :].astype(jnp.float32)
+        acc_t, m_i = carry  # [D+1, blk_q] (row D = sum p), [1, blk_q]
+        k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :]
+        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :]
         s_t = jax.lax.dot_general(
             k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [blk_k, blk_q] — keys on sublanes
-        # mask padded keys (static sk); key index is the sublane dim
-        row = jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0) + ki * blk_k
-        s_t = jnp.where(row < sk, s_t, NEG_INF)
+        if need_mask:
+            # mask padded keys (static sk); key index is the sublane dim
+            row = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
+                   + ki * blk_k)
+            s_t = jnp.where(row < sk, s_t, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
-        p_t = jnp.exp(s_t - m_new)
+        # p in the matmul dtype; its row-sum rides the PV matmul as a
+        # ones-column of v (acc row D), skipping a [blk_k, blk_q] VPU reduce
+        p_t = jnp.exp(s_t - m_new).astype(mm_dtype)
         alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+        v_aug = jnp.concatenate(
+            [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
         pv_t = jax.lax.dot_general(
-            v_blk, p_t, (((0,), (0,)), ((), ())),
+            v_aug, p_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [D, blk_q]
-        return acc_t * alpha + pv_t, m_new, l_new
+        )  # [D+1, blk_q]; row D is sum(p)
+        return acc_t * alpha + pv_t, m_new
 
-    acc0 = jnp.zeros((d, blk_q), jnp.float32)
+    acc0 = jnp.zeros((d + 1, blk_q), jnp.float32)
     m0 = jnp.full((1, blk_q), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, blk_q), jnp.float32)
-    acc_t, m_i, l_i = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
-    ot_ref[...] = (acc_t / l_i).astype(ot_ref.dtype)
+    acc_t, m_i = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0))
+    ot_ref[...] = (acc_t[:d] / acc_t[d:]).astype(ot_ref.dtype)
 
 
 def _pad_to(x, axis, multiple):
@@ -87,7 +111,7 @@ def _pad_to(x, axis, multiple):
 
 
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
-def flash_attention(q, k, v, *, blk_q: int = 1024, blk_k: int = 1024,
+def flash_attention(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
                     interpret: bool = False):
     """Softmax attention, numerically matching
     ``softmax(q k^T / sqrt(D)) v`` in float32.

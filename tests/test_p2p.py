@@ -379,3 +379,48 @@ def test_p2p_derive_zs_ddim_equivalence(tiny_setup):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
                                atol=1e-6)
+
+
+def test_needs_probs_static_gates():
+    """Past the cross/self windows the edits are identity; the static gates
+    route those layers to the fused path, keeping only the store layers."""
+    small_self = LayerTag(place="down", is_cross=False, num_pixels=1024, index=1)
+    cross_big = LayerTag(place="down", is_cross=True, num_pixels=4096, index=2)
+    cross_store = LayerTag(place="up", is_cross=True, num_pixels=16, index=3,
+                           store_index=0)
+    ctrl = _mk_ctrl(self_edit_active=False, cross_edit_active=False)
+    assert not ctrl.needs_probs(small_self)
+    assert not ctrl.needs_probs(cross_big)
+    assert ctrl.needs_probs(cross_store)  # LocalBlend store reads every step
+    ctrl_ns = dataclasses.replace(ctrl, save_attn=False)
+    assert not ctrl_ns.needs_probs(cross_store)
+
+
+def test_row_split_prob_path_equivalence():
+    """controlled_attention's pair path (probs for rows cs, cs+1 only) must
+    match the full-batch probability path bit-for-bit in f32 on CPU."""
+    from hedit_tpu.ops.attention import attention_probs, controlled_attention, split_heads, merge_heads
+
+    heads, b, sq, sk, hd = 2, 4, 16, 77, 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, sq, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, sk, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, sk, hd).astype(np.float32))
+    tag = LayerTag(place="up", is_cross=True, num_pixels=sq, index=0,
+                   store_index=1)
+    ctrl = _mk_ctrl(cond_start=2, blend_px=sq, use_reweight=True,
+                    equalizer=jnp.full((77,), 1.5))
+
+    got, store = controlled_attention(q, k, v, heads=heads, layer=tag,
+                                      control=ctrl)
+
+    # oracle: the original full-batch probability path
+    qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
+    probs = attention_probs(qh, kh)
+    probs, store_ref = ctrl.edit_probs(probs, tag)
+    want = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(store[tag.store_name]), np.asarray(store_ref[tag.store_name]),
+        atol=1e-6,
+    )
