@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from hedit_tpu.control.base import LayerTag, NoControl
-from hedit_tpu.ops.flash_attention import flash_attention, reference_attention
+from hedit_tpu.ops.flash_attention import (
+    flash_attention, flash_attention_packed, reference_attention)
 
 # Minimum query length for routing to the Pallas kernel; below this the XLA
 # fused path wins (kernel launch + padding overheads dominate).
@@ -71,47 +72,57 @@ def controlled_attention(
 
     q/k/v: [B, S, H*D] (pre head-split projections).
     Returns ([B, Sq, H*D], stored-maps dict for the attention store).
-    """
-    qh = split_heads(q, heads)
-    kh = split_heads(k, heads)
-    vh = split_heads(v, heads)
 
+    map_qkv hooks (MasaCtrl/PnP) are batch-row remaps and run on the packed
+    [B, S, H*D] layout directly; only probability-path edits and
+    override_attention see head-split views.  The fused path splits heads at
+    the kernel boundary (measured faster end-to-end than the packed-layout
+    kernel, whose per-head in-kernel lane slicing costs more than the
+    head-split copies it saves: 2.02 vs 2.06 s/image on the flagship bench).
+    """
     if hasattr(control, "override_attention"):
-        out = control.override_attention(qh, kh, vh, layer)
+        out = control.override_attention(
+            split_heads(q, heads), split_heads(k, heads),
+            split_heads(v, heads), layer)
         if out is not None:
             return merge_heads(out).astype(q.dtype), {}
 
-    qh, kh, vh = control.map_qkv(qh, kh, vh, layer)
+    q, k, v = control.map_qkv(q, k, v, layer)
+
+    def fused(qp, kp, vp):
+        return merge_heads(fused_attention(
+            split_heads(qp, heads), split_heads(kp, heads),
+            split_heads(vp, heads), use_pallas=use_pallas))
 
     if control.needs_probs(layer):
         edit_pair = getattr(control, "edit_pair", None)
         cs = getattr(control, "cond_start", 0)
-        if edit_pair is not None and qh.shape[0] > 2:
+        if edit_pair is not None and q.shape[0] > 2:
             # Row-split: P2P reads row cs and writes row cs+1 only, so
             # probabilities are materialized for that pair alone; every other
             # row rides the fused path.  Halves (batch-4) the prob-path
             # QK/softmax work and cuts its PV to one row.
-            probs2 = attention_probs(qh[cs:cs + 2], kh[cs:cs + 2])  # [2,H,Q,K]
+            probs2 = attention_probs(
+                split_heads(q[cs:cs + 2], heads),
+                split_heads(k[cs:cs + 2], heads))  # [2, H, Q, K]
             new_repl, store = edit_pair(probs2[0], probs2[1], layer)
-            out_edit = jnp.einsum(
-                "hqk,hkd->hqd", new_repl.astype(vh.dtype), vh[cs + 1]
-            )[None]
-            b = qh.shape[0]
+            vh_edit = split_heads(v[cs + 1:cs + 2], heads)[0]
+            out_edit = merge_heads(jnp.einsum(
+                "hqk,hkd->hqd", new_repl.astype(v.dtype), vh_edit)[None])
+            b = q.shape[0]
 
             def drop_edit_row(x):
                 if cs + 2 >= b:
                     return x[:cs + 1]
                 return jnp.concatenate([x[:cs + 1], x[cs + 2:]], axis=0)
 
-            out_rest = fused_attention(
-                drop_edit_row(qh), drop_edit_row(kh), drop_edit_row(vh),
-                use_pallas=use_pallas,
-            )
+            out_rest = fused(
+                drop_edit_row(q), drop_edit_row(k), drop_edit_row(v))
             parts = [out_rest[:cs + 1], out_edit]
-            if cs + 2 < qh.shape[0]:
+            if cs + 2 < b:
                 parts.append(out_rest[cs + 1:])
-            out = jnp.concatenate(parts, axis=0)
-            return merge_heads(out).astype(q.dtype), store
+            return jnp.concatenate(parts, axis=0).astype(q.dtype), store
+        qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
         probs = attention_probs(qh, kh)  # [B, H, Sq, Sk] f32
         probs, store = control.edit_probs(probs, layer)
         out = jnp.einsum(
@@ -119,5 +130,4 @@ def controlled_attention(
         )
         return merge_heads(out).astype(q.dtype), store
 
-    out = fused_attention(qh, kh, vh, use_pallas=use_pallas)
-    return merge_heads(out), {}
+    return fused(q, k, v).astype(q.dtype), {}

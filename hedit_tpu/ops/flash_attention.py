@@ -152,6 +152,95 @@ def flash_attention(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
     return out[:, :, :sq, :] if sqp != sq else out
 
 
+def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                         heads: int, sk: int, blk_k: int):
+    """One (batch, q-block) program over PACKED heads.
+
+    q_ref/o_ref [blk_q, H*D]; k_ref/v_ref [Sk_pad, H*D].  Heads are sliced
+    from the packed lane dimension in-kernel (static, possibly unaligned
+    offsets — Mosaic shifts in VMEM), so the XLA graph never materializes
+    [B, H, S, D] head-split copies and the custom-call boundary keeps the
+    conv-native [B, S, C] layout on both sides.
+    """
+    hd = q_ref.shape[-1]
+    d = hd // heads
+    blk_q = q_ref.shape[0]
+    num_k_blocks = k_ref.shape[0] // blk_k
+    need_mask = k_ref.shape[0] != sk
+
+    for h in range(heads):
+        q = q_ref[:, h * d:(h + 1) * d] * jnp.asarray(sm_scale, q_ref.dtype)
+        mm_dtype = q.dtype
+
+        def body(ki, carry, _q=q, _h=h):
+            acc_t, m_i = carry  # [D+1, blk_q] (row D = sum p), [1, blk_q]
+            k_blk = k_ref[pl.ds(ki * blk_k, blk_k), _h * d:(_h + 1) * d]
+            v_blk = v_ref[pl.ds(ki * blk_k, blk_k), _h * d:(_h + 1) * d]
+            s_t = jax.lax.dot_general(
+                k_blk, _q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [blk_k, blk_q]
+            if need_mask:
+                row = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
+                       + ki * blk_k)
+                s_t = jnp.where(row < sk, s_t, NEG_INF)
+            m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
+            p_t = jnp.exp(s_t - m_new).astype(mm_dtype)
+            alpha = jnp.exp(m_i - m_new)
+            v_aug = jnp.concatenate(
+                [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
+            pv_t = jax.lax.dot_general(
+                v_aug, p_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [D+1, blk_q]
+            return acc_t * alpha + pv_t, m_new
+
+        acc0 = jnp.zeros((d + 1, blk_q), jnp.float32)
+        m0 = jnp.full((1, blk_q), NEG_INF, jnp.float32)
+        acc_t, _ = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0))
+        o_ref[:, h * d:(h + 1) * d] = (
+            acc_t[:d] / acc_t[d:]).T.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "blk_q", "blk_k",
+                                             "interpret"))
+def flash_attention_packed(q, k, v, *, heads: int, blk_q: int = 1024,
+                           blk_k: int = 512, interpret: bool = False):
+    """Flash attention on packed-head layouts.
+
+    q: [B, Sq, H*D]; k, v: [B, Sk, H*D] — the projection outputs as-is.
+    Returns [B, Sq, H*D] in q.dtype.  Numerics identical to
+    ``flash_attention`` on the head-split views.
+    """
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // heads
+    sm_scale = 1.0 / (d**0.5)
+
+    blk_q = min(blk_q, max(128, sq))
+    blk_k = min(blk_k, max(128, sk))
+    qp = _pad_to(q, 1, blk_q)
+    kp = _pad_to(k, 1, blk_k)
+    vp = _pad_to(v, 1, blk_k)
+    sqp, skp = qp.shape[1], kp.shape[1]
+
+    grid = (b, sqp // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_packed_kernel, sm_scale=sm_scale,
+                          heads=heads, sk=sk, blk_k=blk_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, blk_q, hd), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((None, skp, hd), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((None, skp, hd), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, blk_q, hd), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sqp, hd), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq, :] if sqp != sq else out
+
+
 def reference_attention(q, k, v):
     """XLA einsum-softmax-einsum attention (fp32 softmax), used for small
     sequence lengths and as the oracle in tests."""

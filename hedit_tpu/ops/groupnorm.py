@@ -52,14 +52,23 @@ def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
     n = h * w * (c // groups)
     onehot = jnp.asarray(np.eye(groups, dtype=np.float32)
                          .repeat(c // groups, axis=0))  # [C, G]
-    s = jnp.sum(x32, axis=(1, 2))                       # [B, C]
+    # Spatial sums as MXU dots over the [B, HW, C] view (ones-vector
+    # contraction over HW), NOT jnp.sum(axis=(1,2)): the plain reduce makes
+    # XLA lay consumers out with (batch, channel) on (sublane, lane) —
+    # batch-minor {3,0,2,1} activations — which turns any 1x1 conv it fuses
+    # with into per-pixel m=B matmuls (measured 3.08 ms vs a 0.07 ms roof on
+    # the up_blocks_3 shortcut conv at [16,64,64,320]).  A dot keeps HW on
+    # sublanes, i.e. the conv-native {3,2,1,0} layout.
+    ones_hw = jnp.ones((h * w,), jnp.float32)
+    s = jnp.einsum("bqc,q->bc", x32.reshape(b, h * w, c), ones_hw)  # [B, C]
     mean_g = (s @ onehot) / n                           # [B, G]
     mean_c = (mean_g @ onehot.T)[:, None, None, :]      # [B,1,1,C]
     # two-pass variance (E[(x-m)^2], torch semantics): the one-pass
     # E[x^2]-E[x]^2 form drifts enough to break 50-step reconstruction
     # identities at atol 1e-3
     d = x32 - mean_c
-    var_g = (jnp.sum(d * d, axis=(1, 2)) @ onehot) / n  # [B, G]
+    s2 = jnp.einsum("bqc,q->bc", (d * d).reshape(b, h * w, c), ones_hw)
+    var_g = (s2 @ onehot) / n                           # [B, G]
     inv_c = (jax.lax.rsqrt(var_g + eps) @ onehot.T)[:, None, None, :]
     y = d * inv_c * scale + bias
     if act == "silu":

@@ -110,3 +110,29 @@ def test_clip_text_param_count_sd():
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(shapes))
     assert n == 123_060_480  # HF CLIPTextModel ViT-L/14 (sans projection)
+
+
+@pytest.mark.parametrize("b,h,sq,sk,d", [
+    (2, 3, 300, 300, 40),   # unaligned seq, packed head slicing
+    (1, 8, 256, 256, 40),   # SD res-64 head layout
+    (2, 2, 128, 400, 80),   # multi-k-block with masked tail
+])
+def test_flash_attention_packed_oracle(b, h, sq, sk, d):
+    """Packed-layout kernel ([B, S, H*D] in/out, heads sliced in-kernel)
+    matches the head-split reference."""
+    from hedit_tpu.ops.flash_attention import flash_attention_packed
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, sq, h * d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, sk, h * d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, sk, h * d).astype(np.float32))
+
+    def split(x, s):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    want = reference_attention(split(q, sq), split(k, sk), split(v, sk))
+    want = want.transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+    got = flash_attention_packed(q, k, v, heads=h, blk_q=128, blk_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
