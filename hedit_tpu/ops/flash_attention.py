@@ -43,6 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax in base 2: exp(x) == exp2(x*log2(e));
+# folding log2(e) into the q scale turns every exp into a raw exp2 and drops
+# one VPU multiply pass over the [blk_k, blk_q] score tile (measured
+# 5.28 -> 5.15 ms at [4,32,4096,40], scripts/flash_v4_variants.py)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float, sk: int,
@@ -62,7 +66,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float, sk: int,
     emitted only when Sk is not block-aligned (never, for the self-attn
     shapes routed here — cross-attention takes the XLA path).
     """
-    q = q_ref[...] * jnp.asarray(sm_scale, q_ref.dtype)  # [blk_q, D]
+    q = q_ref[...] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)  # [blk_q, D]
     blk_q, d = q.shape
     num_k_blocks = k_ref.shape[0] // blk_k
     mm_dtype = q.dtype
@@ -83,9 +87,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float, sk: int,
             s_t = jnp.where(row < sk, s_t, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
         # p in the matmul dtype; its row-sum rides the PV matmul as a
-        # ones-column of v (acc row D), skipping a [blk_k, blk_q] VPU reduce
-        p_t = jnp.exp(s_t - m_new).astype(mm_dtype)
-        alpha = jnp.exp(m_i - m_new)
+        # ones-column of v (acc row D), skipping a [blk_k, blk_q] VPU reduce.
+        # Scores are in base-2 (log2e folded into q), so exp2 suffices.
+        p_t = jnp.exp2(s_t - m_new).astype(mm_dtype)
+        alpha = jnp.exp2(m_i - m_new)
         v_aug = jnp.concatenate(
             [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
         pv_t = jax.lax.dot_general(
@@ -169,7 +174,7 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     need_mask = k_ref.shape[0] != sk
 
     for h in range(heads):
-        q = q_ref[:, h * d:(h + 1) * d] * jnp.asarray(sm_scale, q_ref.dtype)
+        q = q_ref[:, h * d:(h + 1) * d] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
         mm_dtype = q.dtype
 
         def body(ki, carry, _q=q, _h=h):
@@ -185,8 +190,8 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
                        + ki * blk_k)
                 s_t = jnp.where(row < sk, s_t, NEG_INF)
             m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
-            p_t = jnp.exp(s_t - m_new).astype(mm_dtype)
-            alpha = jnp.exp(m_i - m_new)
+            p_t = jnp.exp2(s_t - m_new).astype(mm_dtype)
+            alpha = jnp.exp2(m_i - m_new)
             v_aug = jnp.concatenate(
                 [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
             pv_t = jax.lax.dot_general(

@@ -52,22 +52,35 @@ def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
     n = h * w * (c // groups)
     onehot = jnp.asarray(np.eye(groups, dtype=np.float32)
                          .repeat(c // groups, axis=0))  # [C, G]
-    # Spatial sums as MXU dots over the [B, HW, C] view (ones-vector
-    # contraction over HW), NOT jnp.sum(axis=(1,2)): the plain reduce makes
-    # XLA lay consumers out with (batch, channel) on (sublane, lane) —
-    # batch-minor {3,0,2,1} activations — which turns any 1x1 conv it fuses
-    # with into per-pixel m=B matmuls (measured 3.08 ms vs a 0.07 ms roof on
-    # the up_blocks_3 shortcut conv at [16,64,64,320]).  A dot keeps HW on
-    # sublanes, i.e. the conv-native {3,2,1,0} layout.
-    ones_hw = jnp.ones((h * w,), jnp.float32)
-    s = jnp.einsum("bqc,q->bc", x32.reshape(b, h * w, c), ones_hw)  # [B, C]
+    # Spatial sums as MXU dots over the [B, HW, C] view (ones contraction
+    # over HW), NOT jnp.sum(axis=(1,2)): the plain reduce makes XLA lay
+    # consumers out with (batch, channel) on (sublane, lane) — batch-minor
+    # {3,0,2,1} activations — which turns any 1x1 conv it fuses with into
+    # per-pixel m=B matmuls (measured 3.08 ms vs a 0.07 ms roof on the
+    # up_blocks_3 shortcut conv at [16,64,64,320]).  A dot keeps HW on
+    # sublanes, i.e. the conv-native {3,2,1,0} layout.  The ones operand is
+    # a [HW, 2] MATRIX (column 0 read, column 1 discarded): XLA's algebraic
+    # simplifier strength-reduces a ones-VECTOR dot straight back into the
+    # reduce (verified in HLO metadata), matrix dots survive.
+    ones_hw = jnp.ones((b, 2, h * w), jnp.float32)
+
+    def spatial_sum(t):  # [B, HW, C] -> [B, C]
+        # batched [2, HW] x [HW, C]: contraction over HW streams the native
+        # (HW sublanes, C lanes) layout; row 1 of the ones operand is only
+        # there to keep the rhs a matrix
+        return jax.lax.dot_general(
+            ones_hw, t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+
+    s = spatial_sum(x32.reshape(b, h * w, c))           # [B, C]
     mean_g = (s @ onehot) / n                           # [B, G]
     mean_c = (mean_g @ onehot.T)[:, None, None, :]      # [B,1,1,C]
     # two-pass variance (E[(x-m)^2], torch semantics): the one-pass
     # E[x^2]-E[x]^2 form drifts enough to break 50-step reconstruction
     # identities at atol 1e-3
     d = x32 - mean_c
-    s2 = jnp.einsum("bqc,q->bc", (d * d).reshape(b, h * w, c), ones_hw)
+    s2 = spatial_sum((d * d).reshape(b, h * w, c))
     var_g = (s2 @ onehot) / n                           # [B, G]
     inv_c = (jax.lax.rsqrt(var_g + eps) @ onehot.T)[:, None, None, :]
     y = d * inv_c * scale + bias
