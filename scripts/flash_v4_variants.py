@@ -57,11 +57,6 @@ def kern_exp2(q_ref, k_ref, v_ref, ot_ref, *, sm_scale, blk_k, pipe):
     acc0 = jnp.zeros((d + 1, blk_q), jnp.float32)
     m0 = jnp.full((1, blk_q), NEG_INF, jnp.float32)
     if pipe:
-        def body(ki, carry):
-            acc_t, m_i, s_prev = carry
-            s_next = scores(ki + 1) if isinstance(ki, int) else scores(ki)
-            return (*softmax_pv(s_prev, ki - 1, acc_t, m_i), s_next)
-
         # prologue: fetch block 0 scores; steady state overlaps dot(ki) with
         # softmax/pv(ki-1); epilogue drains the last block
         s0 = scores(0)
