@@ -126,6 +126,14 @@ def flash_attention(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
     sk = k.shape[2]
     sm_scale = 1.0 / (d**0.5)
 
+    if d > 128:
+        # The 2048x512 default blocks are tuned for the SD UNet head dims
+        # (40/80); at large head dims the f32 accumulator [D+1, blk_q] and
+        # score tile blow the 16M scoped-VMEM limit (seen: 16.04M at the VAE
+        # mid-block's single-head d=512, S=4096 attention).  Fall back to the
+        # proven 1024x1024 blocking for that regime.
+        blk_q, blk_k = min(blk_q, 1024), 1024
+
     blk_q = min(blk_q, max(128, sq))
     blk_k = min(blk_k, max(128, sk))
 
