@@ -91,3 +91,47 @@ def test_directional_clip_metric_sign():
     assert metric(dark, "black", light, "white") > 0.9
     assert metric(light, "white", dark, "black") > 0.9
     assert metric(dark, "white", light, "black") < -0.9
+
+
+def test_evaluation_cli_end_to_end(tmp_path):
+    """Drive the full evaluation driver (mapping iteration, RLE mask, crop
+    rules, 9 metrics, CSV) on a synthetic fixture with tiny towers."""
+    import csv as csvmod
+    import json
+
+    from PIL import Image
+
+    from hedit_tpu.cli.evaluation import main as eval_main
+
+    rng = np.random.RandomState(0)
+    src_dir = tmp_path / "src"
+    method = tmp_path / "methodA"
+    src_dir.mkdir()
+    method.mkdir()
+    Image.fromarray(rng.randint(0, 255, (512, 512, 3), dtype=np.uint8)).save(
+        src_dir / "img1.jpg")
+    # non-square target exercises the right-square crop rule
+    Image.fromarray(rng.randint(0, 255, (512, 1024, 3), dtype=np.uint8)).save(
+        method / "img1.png")
+    mapping = {"img1": {
+        "image_path": "img1.jpg",
+        "original_prompt": "a [cat] sitting",
+        "editing_prompt": "a [dog] sitting",
+        "editing_type_id": "0",
+        "mask": [1000, 5000],
+    }}
+    mf = tmp_path / "mapping_file.json"
+    mf.write_text(json.dumps(mapping))
+    out_csv = tmp_path / "out.csv"
+    rc = eval_main([
+        "--annotation_mapping_file", str(mf),
+        "--src_image_folder", str(src_dir),
+        "--tgt_methods", str(method),
+        "--result_path", str(out_csv),
+        "--tiny", "--platform", "cpu",
+    ])
+    assert rc == 0
+    rows = list(csvmod.reader(out_csv.open()))
+    assert len(rows) == 2 and rows[1][0] == "img1"
+    vals = [float(v) for v in rows[1][1:]]
+    assert len(vals) == 9 and all(np.isfinite(vals))
