@@ -57,7 +57,13 @@ def ddpm_timestep_embedding(timesteps, dim: int) -> jnp.ndarray:
     return out
 
 
-def _norm(name):
+def _norm(name, act=None):
+    # nn.GroupNorm, MEASURED fastest at this model's B=1 f32 256^2 shapes:
+    # 6.68 ms/fwd vs 11.2 with FusedGroupNorm (whose two-pass torch-parity
+    # variance reads the huge activation twice; the Pallas kernel only fits
+    # the <=64^2 slabs).  The act param is accepted for call-site symmetry;
+    # the activation stays a separate op here.
+    del act
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
 
 
@@ -68,16 +74,14 @@ class DDPMResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = _norm("norm1")(x)
-        h = nn.swish(h)
+        h = nn.swish(_norm("norm1")(x))
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="temb_proj")(
             nn.swish(temb)
         )
         h = h + t[:, None, None, :]
-        h = _norm("norm2")(h)
-        h = nn.swish(h)
+        h = nn.swish(_norm("norm2")(h))
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -195,8 +199,7 @@ class DDPMUNet(nn.Module):
                                  name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = _norm("norm_out")(h)
-        h = nn.swish(h)
+        h = nn.swish(_norm("norm_out")(h))
         return nn.Conv(cfg.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=cfg.dtype, name="conv_out")(h)
 

@@ -62,16 +62,24 @@ def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
     # a [HW, 2] MATRIX (column 0 read, column 1 discarded): XLA's algebraic
     # simplifier strength-reduces a ones-VECTOR dot straight back into the
     # reduce (verified in HLO metadata), matrix dots survive.
-    ones_hw = jnp.ones((b, 2, h * w), jnp.float32)
+    if b >= 4:
+        ones_hw = jnp.ones((b, 2, h * w), jnp.float32)
 
-    def spatial_sum(t):  # [B, HW, C] -> [B, C]
-        # batched [2, HW] x [HW, C]: contraction over HW streams the native
-        # (HW sublanes, C lanes) layout; row 1 of the ones operand is only
-        # there to keep the rhs a matrix
-        return jax.lax.dot_general(
-            ones_hw, t, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :]
+        def spatial_sum(t):  # [B, HW, C] -> [B, C]
+            # batched [2, HW] x [HW, C]: contraction over HW streams the
+            # native (HW sublanes, C lanes) layout; row 1 of the ones
+            # operand only keeps the rhs a matrix (a ones-VECTOR dot is
+            # strength-reduced back into the reduce by XLA)
+            return jax.lax.dot_general(
+                ones_hw, t, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+    else:
+        # At tiny batch the dot's [B, C] outputs tile T(B,128) and drag the
+        # big activations batch-minor with 1/8 sublane utilization (measured
+        # 2x SLOWER on the B=1 face UNet); the plain reduce wins there.
+        def spatial_sum(t):
+            return jnp.sum(t, axis=1)
 
     s = spatial_sum(x32.reshape(b, h * w, c))           # [B, C]
     mean_g = (s @ onehot) / n                           # [B, G]
