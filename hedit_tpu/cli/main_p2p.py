@@ -237,6 +237,7 @@ def run_sample(args, pipe, key, item):
             tar_ctx=tar_ctx, cfg_src=args.cfg_src, cfg_tar=args.cfg_tar,
             eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
             control=control, local_blend=local_blend,
+            xts=inv.xts[: N + 1],  # indexed source branch: batch-3 steps
         )
     elif args.mode in ("nmg", "nmg_p2p"):
         edited, _ = nmg_p2p(

@@ -133,6 +133,7 @@ def main(argv=None):
                 tar_ctx=tar_ctx, cfg_src=args.cfg_src, cfg_tar=args.cfg_tar,
                 eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
                 qk_mask=qk_mask, conv_mask=conv_mask,
+                xts=inv.xts[: N + 1],  # indexed source: 4 -> 3 rows/step
             )
         elif args.mode == "nmg_pnp":
             edited, _ = nmg_pnp_loop(

@@ -32,7 +32,7 @@ from hedit_tpu.control.p2p import (
     apply_local_blend,
 )
 from hedit_tpu.core.schedule import Schedule
-from hedit_tpu.edit.h_edit import make_step_grid
+from hedit_tpu.edit.h_edit import make_step_grid, traj_inputs
 from hedit_tpu.edit.h_edit_p2p import flatten_attn_store
 
 
@@ -61,11 +61,28 @@ def ef_or_pnp_inv_p2p(
     after_skip_steps: int,
     control: Optional[P2PControl] = None,
     local_blend: Optional[LocalBlendState] = None,
+    xts: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """xts: optional stored inversion trajectory ([N+1, ...], xts[N] == xT).
+    When given, the source branch is INDEXED instead of recomputed (the same
+    reconstruction identity as h_edit_p2p) and the per-step call drops from
+    batch-4 to batch-3 [x_edit(null), x_orig(src), x_edit(tar)] — the
+    controller-base row stays (P2P reads its attention; LocalBlend stores
+    its maps) but the two rows that only fed the source-branch CFG step
+    disappear.  Only valid for P2P/no control: MasaCtrl's mutual attention
+    consumes the uncond source row (its k/v feed row 1), so callers driving
+    MasaCtrl through this loop must not pass xts."""
     N = after_skip_steps
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
     ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, tar_ctx], axis=0)
+    ctx3 = jnp.concatenate([uncond_ctx, src_ctx, tar_ctx], axis=0)
+
+    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
+    if use_xts and control is not None and not hasattr(control, "edit_pair"):
+        raise ValueError(
+            "indexed-source fast path (xts) is only exact for P2P/no "
+            "control — this control may consume the uncond source row")
 
     no_blend = local_blend is None
     if local_blend is None:
@@ -78,29 +95,46 @@ def ef_or_pnp_inv_p2p(
 
     def body(carry, inputs):
         x_orig, x_edit, lb = carry
-        i, t, tt, z = inputs
+        i, t, tt, z, x_orig_t, x_prev_orig_t = inputs
 
-        pair = jnp.concatenate([x_orig, x_edit], axis=0)
-        xin4 = jnp.concatenate([pair, pair], axis=0)
-        if control is not None:
-            ctrl = _with_step(control, i, save_attn=True, cond_start=2)
-            out = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, ctrl)
-            if getattr(ctrl, "stores_attn", False):
-                eps4, aux = out
-                if not no_blend:
-                    lb = accumulate_store(lb, flatten_attn_store(aux))
+        if use_xts:
+            x_orig = x_orig_t
+            xin3 = jnp.concatenate([x_edit, x_orig, x_edit], axis=0)
+            if control is not None:
+                ctrl = _with_step(control, i, save_attn=True, cond_start=1)
+                out = eps_fn(xin3, jnp.broadcast_to(t, (3,)), ctx3, ctrl)
+                if getattr(ctrl, "stores_attn", False):
+                    eps3, aux = out
+                    if not no_blend:
+                        lb = accumulate_store(lb, flatten_attn_store(aux))
+                else:
+                    eps3 = out
             else:
-                eps4 = out
+                eps3 = eps_fn(xin3, jnp.broadcast_to(t, (3,)), ctx3, NO_CONTROL)
+            eps_tar = eps3[0:1] + cfg_tar * (eps3[2:3] - eps3[0:1])
+            x_prev_orig = x_prev_orig_t
         else:
-            eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
+            pair = jnp.concatenate([x_orig, x_edit], axis=0)
+            xin4 = jnp.concatenate([pair, pair], axis=0)
+            if control is not None:
+                ctrl = _with_step(control, i, save_attn=True, cond_start=2)
+                out = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, ctrl)
+                if getattr(ctrl, "stores_attn", False):
+                    eps4, aux = out
+                    if not no_blend:
+                        lb = accumulate_store(lb, flatten_attn_store(aux))
+                else:
+                    eps4 = out
+            else:
+                eps4 = eps_fn(xin4, jnp.broadcast_to(t, (4,)), ctx4, NO_CONTROL)
 
-        eps_src = eps4[0:1] + cfg_src * (eps4[2:3] - eps4[0:1])
-        eps_tar = eps4[1:2] + cfg_tar * (eps4[3:4] - eps4[1:2])
+            eps_src = eps4[0:1] + cfg_src * (eps4[2:3] - eps4[0:1])
+            eps_tar = eps4[1:2] + cfg_tar * (eps4[3:4] - eps4[1:2])
 
-        x_prev_orig = schedule.reverse_step(
-            eps_src, t, x_orig, eta=eta, variance_noise=z,
-            is_ddim_inversion=is_ddim_inversion,
-        )
+            x_prev_orig = schedule.reverse_step(
+                eps_src, t, x_orig, eta=eta, variance_noise=z,
+                is_ddim_inversion=is_ddim_inversion,
+            )
         if is_ddim_inversion:
             # PnP-Inv edited branch: pure DDIM step, eta=0 (:176-178)
             x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
@@ -115,7 +149,8 @@ def ef_or_pnp_inv_p2p(
         return (pair_out[0:1], pair_out[1:2], lb), None
 
     (x_orig, x_edit, _), _ = jax.lax.scan(
-        body, (xT, xT, local_blend), (steps, grid.ts, grid.tts, grid.zs)
+        body, (xT, xT, local_blend),
+        (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq),
     )
     return x_edit, x_orig
 

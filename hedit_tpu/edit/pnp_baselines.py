@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from hedit_tpu.control.base import NO_CONTROL
 from hedit_tpu.control.pnp import PnPControl
 from hedit_tpu.core.schedule import Schedule
-from hedit_tpu.edit.h_edit import make_step_grid
+from hedit_tpu.edit.h_edit import make_step_grid, traj_inputs
 
 
 def _pnp_pair_eps(eps_fn, x_pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar,
@@ -49,28 +49,40 @@ def _pnp_pair_eps(eps_fn, x_pair, t, src_ctx, tar_ctx, uncond_ctx, cfg_tar,
 def ef_or_pnp_inv_w_pnp(
     eps_fn, schedule: Schedule, xT, zs, *, uncond_ctx, src_ctx, tar_ctx,
     cfg_src: float, cfg_tar: float, eta: float, is_ddim_inversion: bool,
-    after_skip_steps: int, qk_mask, conv_mask,
+    after_skip_steps: int, qk_mask, conv_mask, xts=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """xts: stored inversion trajectory — indexes the source branch instead
+    of stepping it (reconstruction identity).  The conditional source ROW
+    stays in the pair (PnP injects its q/k into the target), but its uncond
+    counterpart — which only fed the source-branch CFG step — disappears:
+    4 UNet rows/step -> 3."""
     N = after_skip_steps
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
+    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
 
     def body(carry, inputs):
         x_orig, x_edit = carry
-        i, t, tt, z, qk_on, conv_on = inputs
+        i, t, tt, z, qk_on, conv_on, x_orig_t, x_prev_orig_t = inputs
+        if use_xts:
+            x_orig = x_orig_t
         pair = jnp.concatenate([x_orig, x_edit], axis=0)
         ctrl = PnPControl(qk_on=qk_on, conv_on=conv_on)
         ctx_pair = jnp.concatenate([src_ctx, tar_ctx], axis=0)
         cond = eps_fn(pair, jnp.broadcast_to(t, (2,)), ctx_pair, ctrl)
-        u_src = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
         u_tar = eps_fn(x_edit, jnp.broadcast_to(t, (1,)), uncond_ctx, NO_CONTROL)
-        eps_src = u_src + cfg_src * (cond[0:1] - u_src)
         eps_tar = u_tar + cfg_tar * (cond[1:2] - u_tar)
 
-        x_prev_orig = schedule.reverse_step(
-            eps_src, t, x_orig, eta=eta, variance_noise=z,
-            is_ddim_inversion=is_ddim_inversion,
-        )
+        if use_xts:
+            x_prev_orig = x_prev_orig_t
+        else:
+            u_src = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uncond_ctx,
+                           NO_CONTROL)
+            eps_src = u_src + cfg_src * (cond[0:1] - u_src)
+            x_prev_orig = schedule.reverse_step(
+                eps_src, t, x_orig, eta=eta, variance_noise=z,
+                is_ddim_inversion=is_ddim_inversion,
+            )
         if is_ddim_inversion:
             x_prev_edit = schedule.reverse_step(eps_tar, t, x_edit, eta=0.0)
         else:
@@ -80,7 +92,9 @@ def ef_or_pnp_inv_w_pnp(
         return (x_prev_orig, x_prev_edit), None
 
     (x_orig, x_edit), _ = jax.lax.scan(
-        body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask)
+        body, (xT, xT),
+        (steps, grid.ts, grid.tts, grid.zs, qk_mask, conv_mask,
+         x_orig_seq, x_prev_seq),
     )
     return x_edit, x_orig
 

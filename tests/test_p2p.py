@@ -424,3 +424,35 @@ def test_row_split_prob_path_equivalence():
         np.asarray(store[tag.store_name]), np.asarray(store_ref[tag.store_name]),
         atol=1e-6,
     )
+
+
+def test_ef_p2p_xts_indexed_source_equivalence(tiny_setup):
+    """EF+P2P baseline: the indexed-source fast path (xts, batch-3 call)
+    must match the batch-4 recompute path, and its reconstruction is the
+    stored trajectory endpoint exactly."""
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3, blend_px=16,
+    )
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg_src=1.0,
+              cfg_tar=4.0, eta=1.0, after_skip_steps=S, control=ctrl)
+    edited_a, recon_a = ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT,
+                                          inv.zs, **kw)
+    edited_b, recon_b = ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT,
+                                          inv.zs, xts=inv.xts[: S + 1], **kw)
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(recon_b),
+                               np.asarray(inv.xts[0][None]), atol=1e-6)
+
+    # MasaCtrl-style controls (no edit_pair) must refuse the fast path
+    class _FakeMasa:
+        def needs_probs(self, layer):
+            return False
+
+    with pytest.raises(ValueError):
+        ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                          xts=inv.xts[: S + 1],
+                          **{**kw, "control": _FakeMasa()})

@@ -131,3 +131,28 @@ def test_nmg_and_nulltext_pnp(setup):
         after_skip_steps=S, qk_mask=qk, conv_mask=conv, optimization_steps=2,
     )
     assert bool(jnp.isfinite(edited2).all())
+
+
+def test_ef_pnp_xts_indexed_source_equivalence(setup):
+    """PnP EF baseline: indexed source branch (3 rows/step) must match the
+    4-row recompute path; recon is the stored trajectory endpoint exactly."""
+    from hedit_tpu.control.pnp import pnp_step_gates
+    from hedit_tpu.edit.pnp_baselines import ef_or_pnp_inv_w_pnp
+    from hedit_tpu.invert.ddpm import invert_ddpm
+
+    pipe, eps_plain, eps_fn, x0, uncond, src, tar = setup
+    inv = invert_ddpm(eps_plain, pipe.schedule, x0, uncond_ctx=uncond,
+                      src_ctx=src, cfg_scale_src=1.0, eta=1.0,
+                      rng=jax.random.PRNGKey(3), step_chunk=3)
+    qk, conv = pnp_step_gates(S, 0.5, 0.5)
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg_src=1.0,
+              cfg_tar=4.0, eta=1.0, is_ddim_inversion=False,
+              after_skip_steps=S, qk_mask=qk, conv_mask=conv)
+    edited_a, recon_a = ef_or_pnp_inv_w_pnp(eps_fn, pipe.schedule, inv.xT,
+                                            inv.zs, **kw)
+    edited_b, recon_b = ef_or_pnp_inv_w_pnp(eps_fn, pipe.schedule, inv.xT,
+                                            inv.zs, xts=inv.xts[: S + 1], **kw)
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(recon_b),
+                               np.asarray(inv.xts[0][None]), atol=1e-6)
