@@ -137,10 +137,16 @@ def run_sample(args, pipe, key, item):
     # needs no UNet passes at all.
     derive_zs = (args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
                  and args.implicit and args.cfg_src == 1.0 and eta > 0)
+    # EF/PnP-Inv + P2P: the indexed-source row doubles as the inversion
+    # evaluation (edit/baselines.py derive_zs) under the same conditions
+    derive_base = (args.mode in ("ef_p2p", "pnp_inv_p2p")
+                   and (args.cfg_src == 1.0 or is_ddim)
+                   and (eta > 0 or is_ddim))
+    derive_zs = derive_zs or derive_base
     if is_ddim:
         inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale=args.cfg_src, step_chunk=args.step_chunk,
-                          skip_zs=derive_zs)
+                          skip_zs=derive_zs)  # covers ef/pnp_inv derive_base too
     else:
         inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale_src=args.cfg_src, eta=args.eta,
@@ -238,6 +244,7 @@ def run_sample(args, pipe, key, item):
             eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
             control=control, local_blend=local_blend,
             xts=inv.xts[: N + 1],  # indexed source branch: batch-3 steps
+            derive_zs=derive_base,  # inversion-free when conditions hold
         )
     elif args.mode in ("nmg", "nmg_p2p"):
         edited, _ = nmg_p2p(

@@ -103,16 +103,23 @@ def main(argv=None):
         eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
         eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
 
+        # EF/PnP-Inv + PnP: the pair's source row doubles as the inversion
+        # evaluation (edit/pnp_baselines.py derive_zs) -> skip phase-2
+        derive_base = (args.mode in ("ef_pnp", "pnp_inv_w_pnp")
+                       and (args.cfg_src == 1.0 or is_ddim)
+                       and (args.eta > 0 or is_ddim))
         if is_ddim:
             inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond,
                               src_ctx=src_ctx, cfg_scale=args.cfg_src,
-                              step_chunk=args.step_chunk)
+                              step_chunk=args.step_chunk,
+                              skip_zs=derive_base)
             eta = 1.0
         else:
             inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond,
                               src_ctx=src_ctx, cfg_scale_src=args.cfg_src,
                               eta=args.eta, rng=jax.random.PRNGKey(0),
-                              step_chunk=args.step_chunk)
+                              step_chunk=args.step_chunk,
+                              skip_zs=derive_base)
             eta = args.eta
         xT = inv.xts[N][None]
 
@@ -134,6 +141,7 @@ def main(argv=None):
                 eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
                 qk_mask=qk_mask, conv_mask=conv_mask,
                 xts=inv.xts[: N + 1],  # indexed source: 4 -> 3 rows/step
+                derive_zs=derive_base,  # inversion-free when conditions hold
             )
         elif args.mode == "nmg_pnp":
             edited, _ = nmg_pnp_loop(

@@ -62,6 +62,7 @@ def ef_or_pnp_inv_p2p(
     control: Optional[P2PControl] = None,
     local_blend: Optional[LocalBlendState] = None,
     xts: Optional[jnp.ndarray] = None,
+    derive_zs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """xts: optional stored inversion trajectory ([N+1, ...], xts[N] == xT).
     When given, the source branch is INDEXED instead of recomputed (the same
@@ -71,18 +72,33 @@ def ef_or_pnp_inv_p2p(
     its maps) but the two rows that only fed the source-branch CFG step
     disappear.  Only valid for P2P/no control: MasaCtrl's mutual attention
     consumes the uncond source row (its k/v feed row 1), so callers driving
-    MasaCtrl through this loop must not pass xts."""
-    N = after_skip_steps
-    grid = make_step_grid(schedule, zs, N)
-    steps = jnp.arange(N, dtype=jnp.int32)
-    ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, tar_ctx], axis=0)
-    ctx3 = jnp.concatenate([uncond_ctx, src_ctx, tar_ctx], axis=0)
+    MasaCtrl through this loop must not pass xts.
 
+    derive_zs (requires xts): inversion-free stepping.  The controller-base
+    row's output is exactly eps(xts[t], t, src) — P2P's edit writes only the
+    target row — i.e. THIS step's inversion evaluation, so the residual z is
+    rebuilt in-loop and the standalone phase-2 inversion pass is skipped
+    entirely (invert with skip_zs=True, pass zs=None)."""
+    N = after_skip_steps
     use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
     if use_xts and control is not None and not hasattr(control, "edit_pair"):
         raise ValueError(
             "indexed-source fast path (xts) is only exact for P2P/no "
             "control — this control may consume the uncond source row")
+    if derive_zs:
+        assert use_xts, "derive_zs requires the stored trajectory (xts)"
+        assert eta > 0 or is_ddim_inversion, "derive_zs needs eta>0 (DDPM)"
+        # the inversion computed residuals from CFG source noise; the in-loop
+        # row is pure cond(src), so they agree only at cfg_src == 1 (for DDIM
+        # the edit branch is an eta=0 step and z is unused anyway)
+        assert cfg_src == 1.0 or is_ddim_inversion, \
+            "derive_zs (DDPM) requires cfg_src == 1.0"
+        if zs is None:
+            zs = jnp.zeros((N,) + xT.shape[1:], xT.dtype)
+    grid = make_step_grid(schedule, zs, N)
+    steps = jnp.arange(N, dtype=jnp.int32)
+    ctx4 = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, tar_ctx], axis=0)
+    ctx3 = jnp.concatenate([uncond_ctx, src_ctx, tar_ctx], axis=0)
 
     no_blend = local_blend is None
     if local_blend is None:
@@ -113,6 +129,16 @@ def ef_or_pnp_inv_p2p(
                 eps3 = eps_fn(xin3, jnp.broadcast_to(t, (3,)), ctx3, NO_CONTROL)
             eps_tar = eps3[0:1] + cfg_tar * (eps3[2:3] - eps3[0:1])
             x_prev_orig = x_prev_orig_t
+            if derive_zs:
+                # eps3[1] == eps(xts[t], t, src): rebuild this step's
+                # inversion residual in-loop (see docstring)
+                mu = schedule.reverse_step(
+                    eps3[1:2], t, x_orig, eta=eta,
+                    is_ddim_inversion=is_ddim_inversion,
+                )
+                denom = eta if is_ddim_inversion \
+                    else eta * jnp.sqrt(schedule.variance(t))
+                z = (x_prev_orig_t - mu) / denom
         else:
             pair = jnp.concatenate([x_orig, x_edit], axis=0)
             xin4 = jnp.concatenate([pair, pair], axis=0)

@@ -50,16 +50,32 @@ def ef_or_pnp_inv_w_pnp(
     eps_fn, schedule: Schedule, xT, zs, *, uncond_ctx, src_ctx, tar_ctx,
     cfg_src: float, cfg_tar: float, eta: float, is_ddim_inversion: bool,
     after_skip_steps: int, qk_mask, conv_mask, xts=None,
+    derive_zs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """xts: stored inversion trajectory — indexes the source branch instead
     of stepping it (reconstruction identity).  The conditional source ROW
     stays in the pair (PnP injects its q/k into the target), but its uncond
     counterpart — which only fed the source-branch CFG step — disappears:
-    4 UNet rows/step -> 3."""
+    4 UNet rows/step -> 3.
+
+    derive_zs (requires xts): the pair's source-row output is plain
+    eps(xts[t], t, src) — PnP injection only writes the target row — so the
+    inversion residual is rebuilt in-loop and the phase-2 inversion pass is
+    skipped (invert with skip_zs=True, zs=None)."""
     N = after_skip_steps
+    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
+    if derive_zs:
+        assert use_xts, "derive_zs requires the stored trajectory (xts)"
+        assert eta > 0 or is_ddim_inversion, "derive_zs needs eta>0 (DDPM)"
+        # the inversion computed residuals from CFG source noise; the in-loop
+        # row is pure cond(src), so they agree only at cfg_src == 1 (for DDIM
+        # the edit branch is an eta=0 step and z is unused anyway)
+        assert cfg_src == 1.0 or is_ddim_inversion, \
+            "derive_zs (DDPM) requires cfg_src == 1.0"
+        if zs is None:
+            zs = jnp.zeros((N,) + xT.shape[1:], xT.dtype)
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
-    use_xts, x_orig_seq, x_prev_seq = traj_inputs(xts, xT, N)
 
     def body(carry, inputs):
         x_orig, x_edit = carry
@@ -75,6 +91,16 @@ def ef_or_pnp_inv_w_pnp(
 
         if use_xts:
             x_prev_orig = x_prev_orig_t
+            if derive_zs:
+                # cond[0] == eps(xts[t], t, src): rebuild the inversion
+                # residual in-loop (see docstring)
+                mu = schedule.reverse_step(
+                    cond[0:1], t, x_orig, eta=eta,
+                    is_ddim_inversion=is_ddim_inversion,
+                )
+                denom = eta if is_ddim_inversion \
+                    else eta * jnp.sqrt(schedule.variance(t))
+                z = (x_prev_orig_t - mu) / denom
         else:
             u_src = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uncond_ctx,
                            NO_CONTROL)

@@ -456,3 +456,25 @@ def test_ef_p2p_xts_indexed_source_equivalence(tiny_setup):
         ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs,
                           xts=inv.xts[: S + 1],
                           **{**kw, "control": _FakeMasa()})
+
+
+def test_ef_p2p_derive_zs_equivalence(tiny_setup):
+    """EF+P2P inversion-free stepping: zs rebuilt from the controller-base
+    row must match the standard xts path using the inversion's own zs."""
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+
+    pipe, eps_fn, x0, uncond, src, tar, inv = tiny_setup
+    ctrl = _mk_ctrl(
+        cross_alpha=jnp.ones((S + 1, 77)), self_replace_until=3, blend_px=16,
+    )
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg_src=1.0,
+              cfg_tar=4.0, eta=1.0, after_skip_steps=S, control=ctrl,
+              xts=inv.xts[: S + 1])
+    edited_a, _ = ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT, inv.zs, **kw)
+    edited_b, _ = ef_or_pnp_inv_p2p(eps_fn, pipe.schedule, inv.xT, None,
+                                    derive_zs=True, **kw)
+    # the in-loop eps row is evaluated inside a batch-3 call vs the
+    # inversion's chunked batch — ~1e-6 XLA batching drift amplified by the
+    # chaotic random-weight UNet over 6 steps (same as the flagship test)
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)

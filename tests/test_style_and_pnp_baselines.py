@@ -156,3 +156,27 @@ def test_ef_pnp_xts_indexed_source_equivalence(setup):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(recon_b),
                                np.asarray(inv.xts[0][None]), atol=1e-6)
+
+
+def test_ef_pnp_derive_zs_equivalence(setup):
+    """PnP EF inversion-free stepping matches the xts path with real zs."""
+    from hedit_tpu.control.pnp import pnp_step_gates
+    from hedit_tpu.edit.pnp_baselines import ef_or_pnp_inv_w_pnp
+    from hedit_tpu.invert.ddpm import invert_ddpm
+
+    pipe, eps_plain, eps_fn, x0, uncond, src, tar = setup
+    inv = invert_ddpm(eps_plain, pipe.schedule, x0, uncond_ctx=uncond,
+                      src_ctx=src, cfg_scale_src=1.0, eta=1.0,
+                      rng=jax.random.PRNGKey(3), step_chunk=3)
+    qk, conv = pnp_step_gates(S, 0.5, 0.5)
+    kw = dict(uncond_ctx=uncond, src_ctx=src, tar_ctx=tar, cfg_src=1.0,
+              cfg_tar=4.0, eta=1.0, is_ddim_inversion=False,
+              after_skip_steps=S, qk_mask=qk, conv_mask=conv,
+              xts=inv.xts[: S + 1])
+    edited_a, _ = ef_or_pnp_inv_w_pnp(eps_fn, pipe.schedule, inv.xT, inv.zs,
+                                      **kw)
+    edited_b, _ = ef_or_pnp_inv_w_pnp(eps_fn, pipe.schedule, inv.xT, None,
+                                      derive_zs=True, **kw)
+    # batching-drift tolerance — see test_ef_p2p_derive_zs_equivalence
+    np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
+                               atol=5e-3)
