@@ -75,6 +75,31 @@ class CLIPEmbedder:
         return emb
 
 
+def convert_openai_or_hf_clip(state):
+    """Full CLIP state dict -> (text_embed_params, vision_params).
+
+    Detects the checkpoint family: the OpenAI layout (what ``clip.load`` and
+    the vendored ``clip_guidance/clip`` save — ``transformer.resblocks.*``
+    text keys) vs the HF transformers layout (``text_model.encoder.layers``).
+    Both carry ``visual.*``-style vision keys only in the OpenAI case; HF
+    vision checkpoints are not used by the reference's metrics."""
+    from hedit_tpu.io_utils.weights import (
+        convert_clip_text, convert_clip_text_openai,
+    )
+    from hedit_tpu.models.clip_vision import convert_clip_vision
+
+    vp = convert_clip_vision(state)
+    if any(k.startswith("transformer.resblocks") for k in state):
+        tp_inner = convert_clip_text_openai(state)
+    else:
+        tp_inner = convert_clip_text(
+            {k: v for k, v in state.items() if not k.startswith("visual")}
+        )
+    tp = {"params": {"text_model": tp_inner["params"],
+                     "text_projection": np.asarray(state["text_projection"])}}
+    return tp, vp
+
+
 def create_clip_embedder(weights_path: Optional[str] = None, *, tiny=False,
                          seed: int = 0) -> CLIPEmbedder:
     tcfg, vcfg = tiny_configs() if tiny else vit_l14_configs()
@@ -85,18 +110,12 @@ def create_clip_embedder(weights_path: Optional[str] = None, *, tiny=False,
     ids = jnp.zeros((1, 77), jnp.int32)
     img = jnp.zeros((1, vcfg.input_resolution, vcfg.input_resolution, 3))
     if weights_path:
-        from hedit_tpu.io_utils.weights import (
-            convert_clip_text, load_torch_state, validate_against,
-        )
-        from hedit_tpu.models.clip_vision import convert_clip_vision
+        from hedit_tpu.io_utils.weights import load_torch_state
 
         state = load_torch_state(weights_path)
-        vp = convert_clip_vision(state)
-        tp_inner = convert_clip_text(
-            {k: v for k, v in state.items() if not k.startswith("visual")}
-        )
-        tp = {"params": {"text_model": tp_inner["params"],
-                         "text_projection": np.asarray(state["text_projection"])}}
+        tp, vp = convert_openai_or_hf_clip(state)
+        from hedit_tpu.io_utils.weights import validate_against
+
         validate_against(jax.eval_shape(text.init, rngs[0], ids), tp, "clip_text_embed")
         validate_against(jax.eval_shape(vision.init, rngs[1], img), vp, "clip_vision_l14")
         text_params = jax.tree_util.tree_map(jnp.asarray, tp)

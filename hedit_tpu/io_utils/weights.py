@@ -192,6 +192,53 @@ def convert_clip_text(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def convert_clip_text_openai(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """OpenAI CLIP (``clip.load`` / the vendored ``clip_guidance/clip``)
+    TEXT-tower keys -> the CLIPTextModel tree.
+
+    The eval harness loads ViT-L/14 the way the reference's directional
+    metric does (``local_clip_evaluation.py:49``: the OpenAI checkpoint),
+    whose text keys (transformer.resblocks.N.attn.in_proj_*) differ from the
+    HF transformers layout handled by :func:`convert_clip_text`."""
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for key, arr in state.items():
+        arr = np.asarray(arr, np.float32)
+        if key == "token_embedding.weight":
+            flat[("token_embedding", "embedding")] = arr
+        elif key == "positional_embedding":
+            flat[("position_embedding",)] = arr
+        elif key.startswith("ln_final."):
+            flat[("final_layer_norm",
+                  "scale" if key.endswith("weight") else "bias")] = arr
+        elif key.startswith("transformer.resblocks."):
+            parts = key.split(".")
+            i, rest = parts[2], ".".join(parts[3:])
+            base: Tuple[str, ...] = (f"layers_{i}",)
+            if rest == "attn.in_proj_weight":
+                for name, w in zip(("q_proj", "k_proj", "v_proj"),
+                                   np.split(arr, 3, axis=0)):
+                    flat[base + ("self_attn", name, "kernel")] = w.T
+            elif rest == "attn.in_proj_bias":
+                for name, b in zip(("q_proj", "k_proj", "v_proj"),
+                                   np.split(arr, 3, axis=0)):
+                    flat[base + ("self_attn", name, "bias")] = b
+            elif rest == "attn.out_proj.weight":
+                flat[base + ("self_attn", "out_proj", "kernel")] = arr.T
+            elif rest == "attn.out_proj.bias":
+                flat[base + ("self_attn", "out_proj", "bias")] = arr
+            elif rest in ("ln_1.weight", "ln_1.bias", "ln_2.weight", "ln_2.bias"):
+                ln, leaf = rest.split(".")
+                name = "layer_norm1" if ln == "ln_1" else "layer_norm2"
+                flat[base + (name, "scale" if leaf == "weight" else "bias")] = arr
+            elif rest.startswith("mlp."):
+                _, sub, leaf = rest.split(".")
+                name = "mlp_fc1" if sub == "c_fc" else "mlp_fc2"
+                flat[base + (name, "kernel" if leaf == "weight" else "bias")] = (
+                    arr.T if leaf == "weight" else arr
+                )
+    return {"params": _unflatten(flat)}
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a .pt/.pth/.ckpt (torch) or .safetensors file to numpy."""
     if path.endswith(".safetensors"):

@@ -48,8 +48,8 @@ class FaceParsing(nn.Module):
     n_classes: int = 19
 
     @nn.compact
-    def __call__(self, x):
-        """[B, H, W, 3] in [-1, 1] -> [B, H, W] int class map."""
+    def logits(self, x):
+        """[B, H, W, 3] in [-1, 1] -> [B, H, W, n_classes] logits."""
         c1 = UnetConv2(FILTERS[0], name="conv1")(x)
         p1 = nn.max_pool(c1, (2, 2), strides=(2, 2))
         c2 = UnetConv2(FILTERS[1], name="conv2")(p1)
@@ -63,8 +63,11 @@ class FaceParsing(nn.Module):
         u3 = UnetUp(FILTERS[2], name="up_concat3")(c3, u4)
         u2 = UnetUp(FILTERS[1], name="up_concat2")(c2, u3)
         u1 = UnetUp(FILTERS[0], name="up_concat1")(c1, u2)
-        logits = nn.Conv(self.n_classes, (1, 1), name="final")(u1)
-        return jnp.argmax(logits, axis=-1)
+        return nn.Conv(self.n_classes, (1, 1), name="final")(u1)
+
+    def __call__(self, x):
+        """[B, H, W, 3] in [-1, 1] -> [B, H, W] int class map."""
+        return jnp.argmax(self.logits(x), axis=-1)
 
 
 def convert_face_parser(state: dict):
