@@ -28,6 +28,12 @@ def _static(**kw):
     return dataclasses.field(metadata=dict(static=True), **kw)
 
 
+# Self-attention pair count per backbone (reference ``masactrl.py:12-15``
+# MODEL_TYPE map): start_layer indexes into this range.  Only SD is built in
+# this framework; the SDXL constant is carried for config parity.
+MODEL_TYPE_LAYERS: Dict[str, int] = {"SD": 16, "SDXL": 70}
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MasaCtrlControl:
@@ -35,6 +41,7 @@ class MasaCtrlControl:
     start_step: int = _static(default=4)    # --step (main_masactrl.py:88)
     start_layer: int = _static(default=10)  # --layer (main_masactrl.py:89)
     num_halves: int = _static(default=2)    # CFG halves in the batch
+    total_layers: int = _static(default=MODEL_TYPE_LAYERS["SD"])
 
     stores_attn = False
 

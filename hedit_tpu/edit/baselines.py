@@ -129,9 +129,12 @@ def ef_or_pnp_inv_p2p(
                 eps3 = eps_fn(xin3, jnp.broadcast_to(t, (3,)), ctx3, NO_CONTROL)
             eps_tar = eps3[0:1] + cfg_tar * (eps3[2:3] - eps3[0:1])
             x_prev_orig = x_prev_orig_t
-            if derive_zs:
+            if derive_zs and eta > 0:
                 # eps3[1] == eps(xts[t], t, src): rebuild this step's
-                # inversion residual in-loop (see docstring)
+                # inversion residual in-loop (see docstring).  Both
+                # denominator forms scale with eta; at eta == 0 (DDIM /
+                # PnP-Inv) the edit step below ignores z entirely, so the
+                # division is skipped rather than silently producing NaNs.
                 mu = schedule.reverse_step(
                     eps3[1:2], t, x_orig, eta=eta,
                     is_ddim_inversion=is_ddim_inversion,

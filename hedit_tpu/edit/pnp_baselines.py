@@ -91,9 +91,12 @@ def ef_or_pnp_inv_w_pnp(
 
         if use_xts:
             x_prev_orig = x_prev_orig_t
-            if derive_zs:
+            if derive_zs and eta > 0:
                 # cond[0] == eps(xts[t], t, src): rebuild the inversion
-                # residual in-loop (see docstring)
+                # residual in-loop (see docstring).  Both denominator forms
+                # scale with eta; at eta == 0 (DDIM / PnP-Inv) the edit step
+                # below ignores z entirely, so the division is skipped
+                # rather than silently producing NaNs.
                 mu = schedule.reverse_step(
                     cond[0:1], t, x_orig, eta=eta,
                     is_ddim_inversion=is_ddim_inversion,

@@ -57,13 +57,11 @@ def ddpm_timestep_embedding(timesteps, dim: int) -> jnp.ndarray:
     return out
 
 
-def _norm(name, act=None):
+def _norm(name):
     # nn.GroupNorm, MEASURED fastest at this model's B=1 f32 256^2 shapes:
     # 6.68 ms/fwd vs 11.2 with FusedGroupNorm (whose two-pass torch-parity
     # variance reads the huge activation twice; the Pallas kernel only fits
-    # the <=64^2 slabs).  The act param is accepted for call-site symmetry;
-    # the activation stays a separate op here.
-    del act
+    # the <=64^2 slabs).  The activation stays a separate op at call sites.
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
 
 

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from hedit_tpu.control.base import LayerTag, NoControl
-from hedit_tpu.ops.flash_attention import (
-    flash_attention, flash_attention_packed, reference_attention)
+from hedit_tpu.ops.flash_attention import flash_attention, reference_attention
 
 # Minimum query length for routing to the Pallas kernel; below this the XLA
 # fused path wins (kernel launch + padding overheads dominate).
@@ -98,6 +97,11 @@ def controlled_attention(
         edit_pair = getattr(control, "edit_pair", None)
         cs = getattr(control, "cond_start", 0)
         if edit_pair is not None and q.shape[0] > 2:
+            # The pair slice must be in-bounds: JAX clamps out-of-range
+            # slices, which would silently compute edit_pair(base, base).
+            assert cs + 2 <= q.shape[0], (
+                f"cond_start={cs} needs batch >= {cs + 2}, got {q.shape[0]}"
+            )
             # Row-split: P2P reads row cs and writes row cs+1 only, so
             # probabilities are materialized for that pair alone; every other
             # row rides the fused path.  Halves (batch-4) the prob-path

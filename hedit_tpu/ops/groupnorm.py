@@ -1,40 +1,40 @@
-"""Pallas TPU fused GroupNorm(+SiLU).
+"""GroupNorm(+SiLU) — XLA dot-form stats (the measured winner) + an opt-in
+Pallas kernel kept as a tested artifact.
 
-The UNet's hottest non-matmul op: GN(32) + silu before every conv
-(SURVEY.md §5.7 north star).  XLA computes GN as separate
-reduce/normalize/mul HLOs; this kernel fuses stats, normalization, affine and
-the activation in one VMEM pass per batch row.
+RESOLUTION of the "GroupNorm as a Pallas kernel" north star (VERDICT r1
+item 9), from the round-1/2 device-plane measurements:
 
-Design: grid over batch; each program holds one [HW, C] slab in VMEM.
-Per-group statistics use the MXU via a one-hot [C, G] membership matmul
-(lane-dim segment reductions are VPU-hostile; a tiny matmul is free).
-Falls back to the jnp implementation off-TPU or when a slab exceeds the VMEM
-budget (VAE 512x512 resolutions) — the UNet latent path (<= 64x64) always
-fits.
+* The real GN cost on this toolchain was never the reduce itself — it was
+  LAYOUT: the textbook ``reshape(b, hw, g, c//g)`` form forced channels-major
+  relayout copies (~10% of the UNet forward), and ``jnp.sum(axis=(1,2))``
+  stats made XLA lay fused consumers out batch-minor, turning a neighboring
+  1x1 conv into per-pixel matmuls (3.08 ms vs a 0.07 ms roof).  The
+  reshape-free one-hot-matmul form below fixes both INSIDE XLA
+  (e2e 4.66 -> 4.05 s/image, then 34.3 -> 33.3 ms/fwd).
+* With those fixes in, GN is absent from the device-plane top-30 ops and the
+  Pallas kernel's end-to-end effect is bench noise (PERF_NOTES, routing-rule
+  sweeps: 5.18-5.46 s/image spread = tunnel noise).  Mosaic also cannot
+  compile lane-unaligned channel counts (C=320, every res-64 site), and the
+  kernel's scoped-VMEM footprint is shape-dependent beyond a simple slab
+  multiplier (observed 36.43M scoped for a 7.86M f32 slab), so auto-routing
+  needed empirical magic numbers with compile-time-OOM risk on unseen shapes.
+
+Decision: the XLA dot-form IS the GroupNorm story; the Pallas kernel is kept
+(oracle-tested, ``group_norm_pallas``) but only runs when explicitly
+requested via ``HEDIT_GN_PALLAS=1`` — never by shape-based auto-routing.
+Conservative by construction: no VMEM heuristics in the default path.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-# Empirical routing bounds from compiler observations on v5e:
-#   OOM:   f32 [1024,1920] (slab 7.86M -> 36.43M scoped),
-#          bf16 [1024,1280] (slab 2.62M -> 24.89M scoped)
-#   works: bf16 [4096,320] (slab 2.62M), [256,2560], [1024,960] and smaller —
-#          i.e. every site the end-to-end bench exercises under the 4.7x rule.
-# The scoped footprint is shape-dependent beyond a simple multiplier (the two
-# 2.62M slabs above differ 2x in scoped usage), so routing is the proven
-# multiplier rule plus a point-exclusion for the one observed OOM region:
-# wide channels at large spatial extent.
-VMEM_BYTES = 16 * 1024 * 1024
-SLAB_MULTIPLIER = 4.7
 
 
 def group_norm_reference(x, scale, bias, *, groups: int, eps: float = 1e-5,
@@ -147,13 +147,14 @@ def group_norm_pallas(x, scale, bias, *, groups: int, eps: float = 1e-5,
 def group_norm(x, scale, bias, *, groups: int, eps: float = 1e-5,
                act: Optional[str] = None, use_pallas: bool = True,
                interpret: bool = False):
-    """Fused GN(+act); routes to the Pallas kernel when profitable."""
+    """GN(+act).  Default: the XLA dot-form (see module docstring).  The
+    Pallas kernel runs only on explicit opt-in (``HEDIT_GN_PALLAS=1`` AND
+    ``use_pallas``) for re-measurement on future toolchains; the opt-in
+    still requires lane-aligned channels (Mosaic rejects c % 128 != 0)."""
     b, h, w, c = x.shape
-    slab_bytes = h * w * c * x.dtype.itemsize
     on_tpu = jax.devices()[0].platform == "tpu"
     if use_pallas and (on_tpu or interpret) \
-            and slab_bytes * SLAB_MULTIPLIER <= VMEM_BYTES \
-            and not (c > 640 and h * w >= 1024) \
+            and os.environ.get("HEDIT_GN_PALLAS") == "1" \
             and c % groups == 0 and c % 128 == 0:
         return group_norm_pallas(x, scale, bias, groups=groups, eps=eps,
                                  act=act, interpret=interpret)

@@ -56,6 +56,57 @@ def test_flash_attention_oracle(sq, sk, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("sq,sk,d", [
+    (256, 256, 40),
+    (128, 77, 64),     # masked tail keys within one block
+    (300, 300, 40),    # unaligned both ways
+])
+def test_flash_attention_bounded_oracle(sq, sk, d):
+    """Max-free (Cauchy-Schwarz-bounded) kernel matches the oracle; softmax
+    shift-invariance makes it exact up to f32 underflow of scores far below
+    the bound."""
+    from hedit_tpu.ops.flash_attention import flash_attention_bounded
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, sq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, sk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, sk, d).astype(np.float32))
+    want = reference_attention(q, k, v)
+    got = flash_attention_bounded(q, k, v, blk_q=128, blk_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_bounded_sharp_logits():
+    """Large-norm q/k (sharp, near-one-hot softmax) stress the bound slack."""
+    from hedit_tpu.ops.flash_attention import flash_attention_bounded
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 1, 256, 40).astype(np.float32) * 8.0)
+    k = jnp.asarray(rng.randn(1, 1, 256, 40).astype(np.float32) * 8.0)
+    v = jnp.asarray(rng.randn(1, 1, 256, 40).astype(np.float32))
+    want = reference_attention(q, k, v)
+    got = flash_attention_bounded(q, k, v, blk_q=128, blk_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_flash_attention_bf16_tolerance():
+    """bf16 inputs run the QK/PV matmuls in bf16 (v3 design) — documents the
+    expected drift vs the f32 oracle (bf16 has ~3 decimal digits)."""
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    want = np.asarray(reference_attention(q, k, v))
+    got = flash_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        blk_q=128, blk_k=128, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(got, np.float32) - want)
+    scale = np.abs(want).max()
+    assert err.max() / scale < 3e-2, err.max() / scale
+
+
 def test_clip_text_parity_with_torch():
     """Random-init torch CLIPTextModel -> weight port -> activation parity."""
     torch = pytest.importorskip("torch")
