@@ -27,8 +27,12 @@ Execution structure: two modes (HEDIT_BENCH_MODE).
 Baseline for ``vs_baseline``: the reference publishes NO wall-clock numbers
 (timing commented out, ``main_p2p.py:149-150,268-272``).  We use an estimated
 A100 diffusers fp16 cost of the same call pattern: ~550 batch-1-equivalent
-UNet passes/image (SURVEY.md §6) at ~20 ms/pass ~= 11.0 s/image.
-vs_baseline = 11.0 / measured_seconds (>1 is faster; the north star is >=3).
+UNet passes/image (SURVEY.md §6) at 20 ms/pass ~= 11.0 s/image.  The 20 ms
+figure is the FAST end of public A100 SD-1.5 fp16 benchmarks (50-step
+generation at ~2.0-3.0 s/image = 100 batch-1-equivalent passes -> 20-30
+ms/pass); full derivation and cross-checks in BASELINE.md ("A100 wall-clock
+denominator").  vs_baseline = 11.0 / measured_seconds (>1 is faster; the
+north star is >=3).
 """
 
 from __future__ import annotations

@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--step_chunk", type=int, default=10)
+    p.add_argument("--save_trajectory", type=str, default=None, metavar="NPZ",
+                   help="capture the SDE inversion trajectory for replay")
+    p.add_argument("--load_trajectory", type=str, default=None, metavar="NPZ",
+                   help="inject a captured trajectory (ours or torch NCHW)")
     args = p.parse_args(argv)
     assert args.eta == 1.0, "face swapping requires eta == 1.0 (main_edit.py:64)"
     if args.optimization_steps == 1 and args.weight_edit_face == 50.0:
@@ -84,8 +88,21 @@ def main(argv=None):
         id_fn = pipe.id_loss_fn(ref_img)
         lpips_fn = pipe.lpips_loss_fn(src_img)
 
-        inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=args.eta,
-                         rng=jax.random.PRNGKey(42), step_chunk=args.step_chunk)
+        if args.load_trajectory:
+            from hedit_tpu.io_utils.trajectory import load_trajectory
+
+            inv = load_trajectory(args.load_trajectory,
+                                  expect_steps=args.num_diffusion_steps)
+            if inv.zs is None:
+                raise ValueError("face trajectory must include zs")
+        else:
+            inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=args.eta,
+                             rng=jax.random.PRNGKey(42),
+                             step_chunk=args.step_chunk)
+        if args.save_trajectory:
+            from hedit_tpu.io_utils.trajectory import save_trajectory
+
+            save_trajectory(args.save_trajectory, inv)
 
         seg = pipe.parse(src_img)
         soft_mask = build_face_mask(seg)

@@ -66,6 +66,12 @@ def parse_args(argv=None):
     p.add_argument("--xa", type=float, default=0.4)
     p.add_argument("--sa", type=float, default=0.35)
     p.add_argument("--step_chunk", type=int, default=10)
+    p.add_argument("--save_trajectory", type=str, default=None, metavar="NPZ",
+                   help="capture the inversion trajectory (xts/zs/q-noises) "
+                        "to an npz for pixel-level replay/parity")
+    p.add_argument("--load_trajectory", type=str, default=None, metavar="NPZ",
+                   help="inject a captured trajectory instead of sampling "
+                        "(accepts this framework's or torch-side NCHW captures)")
     p.add_argument("--data_parallel", type=int, default=0, metavar="B",
                    help="batch B samples per jit call, sharded over the mesh "
                         "'data' axis (h_edit_R mode; SURVEY.md §5.8 sweep)")
@@ -132,18 +138,39 @@ def run_sample(args, pipe, key, item):
     eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
     eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
 
+    # Injected trajectory (pixel-level parity mode): replaces the sampled
+    # inversion entirely.  A capture WITH stored zs replays those exact
+    # residuals (bit-for-bit vs the capturing run / the torch reference);
+    # a capture without zs keeps the derive_zs in-loop rebuild.
+    traj = None
+    if getattr(args, "load_trajectory", None):
+        from hedit_tpu.io_utils.trajectory import load_trajectory
+
+        traj = load_trajectory(args.load_trajectory,
+                               expect_steps=args.num_diffusion_steps)
+
     # Inversion-free fast path (h_edit_p2p derive_zs): the edit loop rebuilds
     # the residuals from its own controller-source row, so the DDPM inversion
     # needs no UNet passes at all.
+    have_zs = traj is not None and traj.zs is not None
     derive_zs = (args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
-                 and args.implicit and args.cfg_src == 1.0 and eta > 0)
+                 and args.implicit and args.cfg_src == 1.0 and eta > 0
+                 and not have_zs)
     # EF/PnP-Inv + P2P: the indexed-source row doubles as the inversion
     # evaluation (edit/baselines.py derive_zs) under the same conditions
     derive_base = (args.mode in ("ef_p2p", "pnp_inv_p2p")
                    and (args.cfg_src == 1.0 or is_ddim)
-                   and (eta > 0 or is_ddim))
+                   and (eta > 0 or is_ddim)
+                   and not have_zs)
     derive_zs = derive_zs or derive_base
-    if is_ddim:
+    if traj is not None and not have_zs and not derive_zs:
+        raise ValueError(
+            "injected trajectory has no zs and this mode/config cannot "
+            "derive them in-loop; re-capture with zs"
+        )
+    if traj is not None:
+        inv = traj
+    elif is_ddim:
         inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond, src_ctx=src_ctx,
                           cfg_scale=args.cfg_src, step_chunk=args.step_chunk,
                           skip_zs=derive_zs)  # covers ef/pnp_inv derive_base too
@@ -152,6 +179,10 @@ def run_sample(args, pipe, key, item):
                           cfg_scale_src=args.cfg_src, eta=args.eta,
                           rng=jax.random.PRNGKey(args.device_num),
                           step_chunk=args.step_chunk, skip_zs=derive_zs)
+    if getattr(args, "save_trajectory", None):
+        from hedit_tpu.io_utils.trajectory import save_trajectory
+
+        save_trajectory(args.save_trajectory, inv)
     xT = inv.xts[N][None] if inv.xts.ndim == 4 else inv.xts[N]
     zs = inv.zs
 

@@ -5,11 +5,11 @@ Behavior parity with the OpenAI/HF CLIPTokenizer used by the reference
 byte-pair encoding over the standard 16e6 merge table, <|startoftext|> /
 <|endoftext|> specials, endoftext-padding.
 
-The merge table is DATA, not code: it is loaded at runtime from a standard
-``bpe_simple_vocab_16e6.txt.gz`` file.  Search order:
-``HEDIT_BPE_VOCAB`` env var, a file next to this module, then the read-only
-reference checkout's vendored copy
-(``text-guided-n-style/clip_guidance/clip/bpe_simple_vocab_16e6.txt.gz``).
+The merge table is DATA, not code: the standard public
+``bpe_simple_vocab_16e6.txt.gz`` ships with the package (declared as
+package-data in pyproject.toml).  Search order: ``HEDIT_BPE_VOCAB`` env var,
+the packaged file next to this module, then (dev images only) the read-only
+reference checkout's vendored copy.
 """
 
 from __future__ import annotations
