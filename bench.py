@@ -547,12 +547,18 @@ def main():
     else:
         sec = run_hostloop()
 
-    print(json.dumps({
+    out = {
         "metric": "piebench_50step_hedit_R_p2p_implicit_wall_s_per_image",
         "value": round(sec, 3),
         "unit": "s/image",
         "vs_baseline": round(A100_BASELINE_S / sec, 2),
-    }))
+    }
+    if mode == "batch":
+        # throughput view of the same measurement (the 700-image PieBench
+        # sweep is a throughput job; per-image latency understates batching)
+        out["images_per_s"] = round(1.0 / sec, 3)
+        out["batch_images"] = int(os.environ.get("HEDIT_BENCH_BATCH", "4"))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

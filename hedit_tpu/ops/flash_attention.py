@@ -23,14 +23,23 @@ Everything runs in the TRANSPOSED form, chosen from MXU cost probes on v5e
   [B, H, Sq, D].  Dropping the d-padding also removes the HBM pad/slice
   copies v1 paid outside the kernel.
 
-v3 (current) rations the VPU work that was serializing with the MXU
-(measured at [4,32,4096,40] bf16, the controlled-call hot shape):
-matmuls in the input dtype instead of fp32 (6.48 -> 5.89 ms), sm_scale
-folded into q and key-masking emitted only for unaligned Sk (-> 5.60),
-the softmax denominator riding the PV matmul as a ones-column of v and
-p cast to the matmul dtype at the exp (-> 5.39), blocks 2048x512
-(-> 5.28).  Charged-FLOP roof for that shape (QK contraction depth
-billed at 128 on the MXU) is ~3.7 ms.
+v3 rations the VPU work that was serializing with the MXU (measured at
+[4,32,4096,40] bf16, the controlled-call hot shape): matmuls in the input
+dtype instead of fp32 (6.48 -> 5.89 ms), sm_scale folded into q and
+key-masking emitted only for unaligned Sk (-> 5.60), the softmax
+denominator riding the PV matmul as a ones-column of v and p cast to the
+matmul dtype at the exp (-> 5.39), blocks 2048x512 (-> 5.28), base-2
+softmax (-> 5.15).
+
+v4 "bounded" (current production path, ``flash_attention_bounded``) drops
+the running max entirely — see ``_flash_bounded_kernel`` — landing at
+4.38 ms.  The ablation (scripts/flash_ablate.py) shows the bare
+dot->cast->dot loop costs 4.34 ms at this shape, i.e. the earlier ~3.7 ms
+"charged-FLOP roof" estimate was optimistic: the per-block f32->bf16 cast
+of the [blk_k, blk_q] probability tile and the fori_loop overhead are
+part of the floor, and exp2/shift are fully MXU-overlapped (free).
+Larger k-blocks (1024/2048) exceed the 16M scoped-VMEM limit with the
+block-0 prologue resident; 2048x512 is the optimum.
 """
 
 from __future__ import annotations
@@ -184,33 +193,34 @@ def _flash_bounded_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float,
     NO rescale, and no cross-iteration VPU dependency (acc is a pure sum) —
     Mosaic can overlap block i+1's QK matmul with block i's exp2.
 
-    The shift (all quantities in base-2 log units, i.e. already scaled by
-    sm_scale*log2e like the scores) anchors on a SAMPLE of the row — the
-    max over the first k-block (one extra QK block + one [blk_k, blk_q]
-    max, ~1/8 of v3's per-iteration VPU reduces, and outside the loop) —
-    plus a variance-capped margin from the EXACT per-row score std
-    (one cheap [D, D] second-moment matmul over k):
+    The shift (in base-2 log units, i.e. already scaled by sm_scale*log2e
+    like the scores) anchors on a SAMPLE of the row: block 0's scores are
+    computed once in the prologue (and their PV contribution reused — no
+    recompute), their per-query max m0 is the anchor, and the in-loop
+    exponent is saturated:
 
-        m0_j    = max over k-block 0 of s_jk
-        var_j   = q_j^T Cov(k) q_j     (exact score variance over keys)
-        shift_j = m0_j + min(sqrt(var_j), 30) + 8
+        shift_j = m0_j + 16
+        p       = exp2(min(s - shift, 100))
 
-    and the in-loop exponent is saturated: ``p = exp2(min(s - shift, 100))``.
+    Measured on v5e at [4,32,4096,40] bf16 (scripts/flash_ablate.py): the
+    dot->cast->dot loop floor is 4.34 ms and exp2/shift are FREE (fully
+    overlapped with the MXU), so the only affordable prologue is this one
+    [blk_k, blk_q] max — the earlier variance-margin prologue (k cast +
+    [D,D] second moment) cost ~0.7 ms and is gone.
+
     Guarantees:
-
-    * NO OVERFLOW / NaN, unconditionally: p <= 2^100, the denominator sum
+    * NO OVERFLOW / NaN, unconditionally: p <= 2^100, denominator
       <= Sk * 2^100 < 2^113, finite for ANY input.
-    * NO all-underflow, unconditionally: m0 <= s_max, so
-      shift - s_max <= 38 and p_max >= 2^-38 — the denominator floor is a
+    * NO all-underflow, unconditionally: m0 <= s_max gives
+      shift - s_max <= 16, so p_max >= 2^-16; the denominator floor is a
       belt-and-braces NaN guard that cannot engage.
-    * The saturation DISTORTS only keys scoring more than 108 log2-units
-      above block 0's maximum — i.e. only when the first 512 keys are
-      unrepresentative of the row by >= 108/std sigmas (>= 3.6 sigma even
-      at the 30-unit std cap, impossible for smaller std).  Below that the
-      result is exact (softmax shift invariance) up to f32 underflow of
-      irrelevant terms.
-    * PRECISION: terms within 126 - (shift - s_max) >= 88 log2-units of
-      the max survive — far beyond the f32 sum's 2^-24 mantissa.
+    * The saturation DISTORTS only keys scoring more than 116 log2-units
+      above block 0's per-query maximum — i.e. only when the first blk_k
+      keys are unrepresentative of the row by 116/std sigmas (SD score
+      rows measure std ~ 1-6 log2 units).  Below that the result is exact
+      (softmax shift invariance) up to f32 underflow of terms more than
+      ~110 log2-units below the max — invisible next to the f32 sum's
+      2^-24 mantissa.
     """
     q = q_ref[...] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)  # [blk_q, D]
     blk_q, d = q.shape
@@ -218,33 +228,8 @@ def _flash_bounded_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float,
     mm_dtype = q.dtype
     need_mask = k_ref.shape[0] != sk
 
-    q32 = q.astype(jnp.float32)
-    if need_mask:
-        krows = jax.lax.broadcasted_iota(jnp.int32, (k_ref.shape[0], 1), 0)
-        k32 = jnp.where(krows < sk, k_ref[...].astype(jnp.float32), 0.0)
-    else:
-        k32 = k_ref[...].astype(jnp.float32)
-    kappa = (jnp.sum(k32, axis=0) / sk)[:, None]               # [D, 1]
-    m2 = jax.lax.dot_general(                                  # [D, D]
-        k32, k32, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / sk
-    cov = m2 - kappa @ kappa.T
-    var = jnp.maximum(
-        jnp.sum((q32 @ cov) * q32, axis=1, keepdims=True), 0.0)  # [blk_q, 1]
-    s0 = jax.lax.dot_general(                                  # [blk_k, blk_q]
-        k_ref[pl.ds(0, blk_k), :], q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if need_mask:
-        row0 = jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
-        s0 = jnp.where(row0 < sk, s0, NEG_INF)
-    m0 = jnp.max(s0, axis=0, keepdims=True)                    # [1, blk_q]
-    shift = m0 + jnp.minimum(jnp.sqrt(var).T, 30.0) + 8.0      # [1, blk_q]
-
-    def body(ki, acc_t):
+    def scores(ki):
         k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :]
-        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :]
         s_t = jax.lax.dot_general(
             k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -253,17 +238,27 @@ def _flash_bounded_kernel(q_ref, k_ref, v_ref, ot_ref, *, sm_scale: float,
             row = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
                    + ki * blk_k)
             s_t = jnp.where(row < sk, s_t, NEG_INF)
-        p_t = jnp.exp2(jnp.minimum(s_t - shift, 100.0)).astype(mm_dtype)
+        return s_t
+
+    def pv(ki, p_t):
+        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :]
         v_aug = jnp.concatenate(
             [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
-        pv_t = jax.lax.dot_general(
+        return jax.lax.dot_general(
             v_aug, p_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [D+1, blk_q]
-        return acc_t + pv_t
 
-    acc0 = jnp.zeros((d + 1, blk_q), jnp.float32)
-    acc_t = jax.lax.fori_loop(0, num_k_blocks, body, acc0)
+    # prologue: block 0 anchors the shift and already contributes to acc
+    s0 = scores(0)
+    shift = jnp.max(s0, axis=0, keepdims=True) + 16.0          # [1, blk_q]
+    acc0 = pv(0, jnp.exp2(s0 - shift).astype(mm_dtype))
+
+    def body(ki, acc_t):
+        p_t = jnp.exp2(jnp.minimum(scores(ki) - shift, 100.0)).astype(mm_dtype)
+        return acc_t + pv(ki, p_t)
+
+    acc_t = jax.lax.fori_loop(1, num_k_blocks, body, acc0)
     denom = jnp.maximum(acc_t[d:], 1.2e-38)  # NaN guard; see docstring
     ot_ref[...] = (acc_t[:d] / denom).astype(ot_ref.dtype)
 

@@ -32,6 +32,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite's wall-clock is dominated by XLA
+# CPU compiles of scan-wrapped edit loops, and the per-module clear_caches()
+# below (segfault workaround) would otherwise force identical graphs to
+# recompile in every module.  The disk cache survives clear_caches() and
+# pytest re-runs; min_compile_time 0.5s keeps tiny graphs out of it.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import pytest  # noqa: E402
 
