@@ -76,6 +76,7 @@ def h_edit_p2p(
     style_fn=None,
     xts: Optional[jnp.ndarray] = None,
     derive_zs: bool = False,
+    segment: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """h-Edit +P2P (explicit or implicit by cfg.implicit).
 
@@ -215,6 +216,9 @@ def h_edit_p2p(
                 uncond_out_tar, cond_out_src, cond_out_tar, eps_orig_next, store = (
                     controlled_call(x_prev_orig, x_opt, tt, save)
                 )
+                # the eps carry must keep the carry dtype (f32) even when the
+                # UNet computes in bf16, or lax.scan rejects the body
+                eps_orig_next = eps_orig_next.astype(eps_orig_c.dtype)
                 eps_src_edit = cfg_pair(uncond_out_tar, cond_out_src, cfg.cfg_src_edit)
                 eps_tar = cfg_pair(uncond_out_tar, cond_out_tar, cfg.cfg_tar)
                 correction = eps_tar - eps_src_edit
@@ -248,7 +252,9 @@ def h_edit_p2p(
     w_self = min(max(getattr(control, "self_replace_until", N), 0), N)
     w_cross = getattr(control, "cross_active_until", -1)
     w_cross = N if w_cross < 0 else min(w_cross, N)
-    can_gate = isinstance(control, P2PControl)
+    # segment=False collapses to ONE scan (2 UNet instantiations total) —
+    # needed where the compiler rejects the 3-segment graph (6 instantiations)
+    can_gate = segment and isinstance(control, P2PControl)
     cuts = sorted({0, w_self, w_cross, N}) if can_gate else [0, N]
 
     xs_all = (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq)

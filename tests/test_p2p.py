@@ -381,6 +381,28 @@ def test_p2p_derive_zs_ddim_equivalence(tiny_setup):
                                atol=1e-6)
 
 
+def test_p2p_scan_carry_dtype_bf16_eps(tiny_setup):
+    """The eps carry (derive_zs plumbing) must keep the f32 carry dtype even
+    when the model computes in bf16 — lax.scan rejects dtype-changing bodies
+    (regression: bench scan mode failed with a f32->bf16 carry mismatch)."""
+    pipe, _, x0, uncond, src, tar, inv = tiny_setup
+
+    def eps_bf16(x, t, c, ctrl):
+        eps = pipe.unet_eps(x, t, c, ctrl)
+        if isinstance(eps, tuple):
+            return eps[0].astype(jnp.bfloat16), eps[1]
+        return eps.astype(jnp.bfloat16)
+
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True)
+    edited, _ = h_edit_p2p(
+        eps_bf16, pipe.schedule, inv.xT, None, uncond_ctx=uncond, src_ctx=src,
+        tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=_noop_ctrl(),
+        xts=inv.xts[: S + 1], derive_zs=True,
+    )
+    assert edited.dtype == inv.xT.dtype
+    assert bool(jnp.isfinite(edited).all())
+
+
 def test_needs_probs_static_gates():
     """Past the cross/self windows the edits are identity; the static gates
     route those layers to the fused path, keeping only the store layers."""
