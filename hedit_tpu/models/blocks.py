@@ -107,13 +107,23 @@ class ResnetBlock2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsample.
+
+    ``asymmetric_pad`` is the SD VAE-encoder quirk: diffusers' Encoder builds
+    its DownEncoderBlock2D with ``downsample_padding=0``, which makes
+    Downsample2D F.pad the input (0,1,0,1) — bottom/right only — before a
+    pad-0 conv (inherited from CompVis ldm).  The UNet's downsamplers use the
+    ordinary symmetric padding=1.  Caught by tests/test_torch_parity_sd.py."""
+
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    asymmetric_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
         return nn.Conv(
-            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            self.out_channels, (3, 3), strides=(2, 2), padding=pad,
             dtype=self.dtype, name="conv",
         )(x)
 
@@ -170,7 +180,17 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # diffusers GEGLU uses F.gelu's default = EXACT erf gelu, which the
+        # f32 path matches (caught by tests/test_torch_parity_sd.py; the tanh
+        # approximation drifts up to 4.7e-4 absolute).  In bfloat16 compute
+        # the two forms round to the SAME bf16 value for 99.4%+ of all 2^16
+        # inputs and the rest deviate <= max(1 bf16 ulp, 5e-4) — ~8x below
+        # the bf16 matmul's own per-term rounding noise (exhaustive check in
+        # tests/test_torch_parity_sd.py) — while erf measures +0.2 ms per
+        # large-token FF call = +7% e2e (scripts/gelu_ab.py), so bf16 keeps
+        # the cheap tanh form.
+        approx = jnp.dtype(self.dtype) == jnp.bfloat16
+        return h * nn.gelu(gate, approximate=bool(approx))
 
 
 class FeedForward(nn.Module):
@@ -197,17 +217,19 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, control=NO_CONTROL, use_pallas: bool = True):
-        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        # epsilon=1e-5: torch nn.LayerNorm's default, which diffusers'
+        # BasicTransformerBlock uses (flax defaults to 1e-6)
+        h = nn.LayerNorm(name="norm1", epsilon=1e-5, dtype=self.dtype)(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.dim_head, layer_tag=self.self_tag,
             dtype=self.dtype, name="attn1",
         )(h, None, control, use_pallas)
-        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="norm2", epsilon=1e-5, dtype=self.dtype)(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.dim_head, context_dim=self.context_dim,
             layer_tag=self.cross_tag, dtype=self.dtype, name="attn2",
         )(h, context, control, use_pallas)
-        h = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
+        h = nn.LayerNorm(name="norm3", epsilon=1e-5, dtype=self.dtype)(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 

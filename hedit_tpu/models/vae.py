@@ -90,7 +90,9 @@ class Encoder(nn.Module):
                 x = ResnetBlock2D(ch, use_time_emb=False, eps=1e-6, dtype=cfg.dtype,
                                   name=f"down_blocks_{bi}_resnets_{li}")(x)
             if bi != len(cfg.block_out_channels) - 1:
-                x = Downsample2D(ch, dtype=cfg.dtype,
+                # asymmetric (0,1,0,1) pad: the SD VAE encoder quirk — see
+                # Downsample2D docstring
+                x = Downsample2D(ch, dtype=cfg.dtype, asymmetric_pad=True,
                                  name=f"down_blocks_{bi}_downsamplers_0")(x)
         x = MidBlockVAE(cfg.block_out_channels[-1], dtype=cfg.dtype, name="mid_block")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,

@@ -292,10 +292,13 @@ def test_p2p_xts_indexed_source_branch_equivalence(tiny_setup):
                                    xts=inv.xts[: S + 1], **kw)
     # The recompute path's source branch drifts ~3e-5 from the stored
     # trajectory (f32 over 8 steps); fed through the P2P source-replacement
-    # at cfg_tar=4 on a random-weight (chaotic) UNet that amplifies to ~2e-3
-    # in the edited output.  The indexed path is the exact one.
+    # at cfg_tar=4 on a random-weight (chaotic) UNet that amplifies to
+    # ~2e-3-1e-2 in the edited output (the constant is trajectory-dependent:
+    # the exact-gelu/LayerNorm-eps parity fixes moved it from 2e-3 to 1e-2
+    # on this seed).  The indexed path is the exact one; exactness itself is
+    # asserted on recon below, so this bound only guards gross divergence.
     np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
-                               atol=5e-3)
+                               atol=2e-2)
     # indexed recon is the stored trajectory endpoint, exactly
     np.testing.assert_allclose(np.asarray(recon_b), np.asarray(inv.xts[0][None]),
                                atol=1e-6)
