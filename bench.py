@@ -314,24 +314,14 @@ def main():
         step_v = jax.jit(jax.vmap(
             step_one, in_axes=(None, 0, 0, 0, 0, 0, None, None, None, 0)))
 
-        # Static per-step edit gates: past these windows the P2P cross/self
-        # edits are the identity and those layers ride the fused path (the
-        # store layers keep the probability path; see P2PControl.needs_probs).
-        # The gates are pure PERF routing — edit_pair re-gates dynamically on
-        # `step` (cross_alpha[step] is zero / the self window jnp.where is
-        # identity), so collapsing both flags to one window is bit-identical;
-        # it just runs the few straddle steps (between the two window ends) on
-        # the probability path.  2 step-executable variants instead of 3.
-        cross_alpha_np = np.asarray(control.cross_alpha)
-        nz = np.flatnonzero(cross_alpha_np.any(axis=1))
-        edits_until = max(control.self_replace_until,
-                          int(nz[-1] + 1) if nz.size else 0)
-
+        # ONE step-executable variant: every P2P edit rides the fused path
+        # with dynamic step gates that are exact identities outside their
+        # windows (map_qkv q/k row-select; linear-v cross rewrite — see
+        # control/p2p.py).  Only the res-16 store layers materialize
+        # probabilities, and LocalBlend reads those every step anyway.
         def ctrl_for(i: int):
             return dataclasses.replace(
                 control, step=jnp.array(i, jnp.int32), cond_start=2,
-                self_edit_active=i < edits_until,
-                cross_edit_active=i < edits_until,
             )
 
         ts_dev = sched.timesteps
@@ -401,50 +391,37 @@ def main():
         from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
         from hedit_tpu.invert.ddpm import invert_ddpm
 
-        def make_edit_full(segment: bool):
-            @jax.jit
-            def edit_full(params, w0, uncond, src, tar, key):
-                # params is an ARGUMENT: the weights stay out of the HLO
-                def eps_ctrl(x, t, c, ctrl):
-                    if getattr(ctrl, "stores_attn", False):
-                        out, aux = unet.apply(params, x, t, c, ctrl, True,
-                                              mutable=["attn_store"])
-                        return out, aux["attn_store"]
-                    return unet.apply(params, x, t, c, ctrl)
+        @jax.jit
+        def edit_full(params, w0, uncond, src, tar, key):
+            # params is an ARGUMENT: the weights stay out of the HLO
+            def eps_ctrl(x, t, c, ctrl):
+                if getattr(ctrl, "stores_attn", False):
+                    out, aux = unet.apply(params, x, t, c, ctrl, True,
+                                          mutable=["attn_store"])
+                    return out, aux["attn_store"]
+                return unet.apply(params, x, t, c, ctrl)
 
-                # skip_zs + derive_zs: the inversion is pure q-sampling (zero
-                # UNet passes) and the edit scan derives each inversion
-                # residual on the fly from its own controller-source row —
-                # equivalence-tested vs the explicit-zs route
-                # (tests/test_p2p.py).  The fused jit then contains ONLY the
-                # edit scan's UNet bodies (2 instantiations per scan segment).
-                inv = invert_ddpm(
-                    eps_ctrl, sched, w0, uncond_ctx=uncond, src_ctx=src,
-                    cfg_scale_src=1.0, eta=1.0, rng=key, skip_zs=True,
-                )
-                edited, _ = h_edit_p2p(
-                    eps_ctrl, sched, inv.xT, None, uncond_ctx=uncond,
-                    src_ctx=src, tar_ctx=tar, cfg=cfg, after_skip_steps=S,
-                    control=control, local_blend=lb0, xts=inv.xts[: S + 1],
-                    derive_zs=True, segment=segment,
-                )
-                return edited
-            return edit_full
+            # skip_zs + derive_zs: the inversion is pure q-sampling (zero
+            # UNet passes) and the edit scan derives each inversion
+            # residual on the fly from its own controller-source row —
+            # equivalence-tested vs the explicit-zs route
+            # (tests/test_p2p.py).  The fused jit contains ONLY the single
+            # edit scan's 2 UNet bodies (no control-window segmentation:
+            # the P2P edits ride the fused path with dynamic step gates).
+            inv = invert_ddpm(
+                eps_ctrl, sched, w0, uncond_ctx=uncond, src_ctx=src,
+                cfg_scale_src=1.0, eta=1.0, rng=key, skip_zs=True,
+            )
+            edited, _ = h_edit_p2p(
+                eps_ctrl, sched, inv.xT, None, uncond_ctx=uncond,
+                src_ctx=src, tar_ctx=tar, cfg=cfg, after_skip_steps=S,
+                control=control, local_blend=lb0, xts=inv.xts[: S + 1],
+                derive_zs=True,
+            )
+            return edited
 
-        try:
-            # 3 static control-window segments (fastest: identity-edit layers
-            # ride the fused attention path) = 6 UNet instantiations
-            edit_full = make_edit_full(True)
-            out = edit_full(params, w0, uncond, src, tar, jax.random.PRNGKey(0))
-            out.block_until_ready()
-        except Exception as e:
-            # one segment (2 instantiations) for compilers that reject the
-            # segmented graph; numerics identical, probability path everywhere
-            print(f"# scan segmented compile failed ({type(e).__name__}: "
-                  f"{str(e)[:200]}); retrying unsegmented", file=sys.stderr)
-            edit_full = make_edit_full(False)
-            out = edit_full(params, w0, uncond, src, tar, jax.random.PRNGKey(0))
-            out.block_until_ready()
+        out = edit_full(params, w0, uncond, src, tar, jax.random.PRNGKey(0))
+        out.block_until_ready()
         times = []
         for i in range(3):
             t0 = time.perf_counter()
@@ -526,11 +503,10 @@ def main():
             x_prev_orig, x_opt = base_step(eps4, t, pair, zs_loop[i][None])
             # one batch-4 controlled call; row 1 carries the controller-
             # invisible source eps (cond_start=2) — 2 UNet dispatches/step.
-            # Static gates route identity-edit layers to the fused path.
+            # One executable: the P2P edits are dynamically step-gated fused-
+            # path rewrites (identity outside their windows).
             ctrl = dataclasses.replace(
                 control, step=jnp.array(i, jnp.int32), cond_start=2,
-                self_edit_active=i < control.self_replace_until,
-                cross_edit_active=bool(np.asarray(control.cross_alpha)[i].any()),
             )
             eps4c, aux = eps_p2p(
                 params,

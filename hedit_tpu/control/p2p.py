@@ -70,10 +70,6 @@ class P2PControl:
     # LocalBlend accumulates maps every step.
     self_edit_active: bool = _static(default=True)
     cross_edit_active: bool = _static(default=True)
-    # First step index from which cross_alpha is all-zero (known statically by
-    # the factory); -1 = unknown -> treat the cross edit as always active.
-    # Lets scan drivers segment the edit loop into static windows.
-    cross_active_until: int = _static(default=-1)
 
     # ------------------------------------------------------------ protocol #
     @property
@@ -81,23 +77,81 @@ class P2PControl:
         return self.save_attn
 
     def map_qkv(self, q, k, v, layer: LayerTag):
+        """Self-attention replace WITHOUT materialized probabilities.
+
+        The P2P self edit copies the base row's probability map into the edit
+        row while keeping the edit row's values (``ptp_classes.py:221-225``):
+        ``out_edit = softmax(q_base k_base^T) @ v_edit``.  That is exactly a
+        q/k row-select before the fused attention kernel — no probability
+        tensor ever exists.  Outside the window the select is the identity
+        (bit-identical), so the gate can stay dynamic inside a scan.
+        """
+        if (
+            layer.is_cross
+            or not self.self_edit_active
+            or layer.place not in ("down", "mid", "up")
+            or layer.num_pixels > 32 * 32  # (ptp_classes.py:194-200)
+        ):
+            return q, k, v
+        cs = self.cond_start
+        assert cs + 2 <= q.shape[0], (
+            f"cond_start={cs} needs batch >= {cs + 2}, got {q.shape[0]}"
+        )
+        in_window = self.step < self.self_replace_until
+        q = q.at[cs + 1].set(jnp.where(in_window, q[cs], q[cs + 1]))
+        k = k.at[cs + 1].set(jnp.where(in_window, k[cs], k[cs + 1]))
         return q, k, v
 
     def map_features(self, h, site: str):
         return h
 
     def needs_probs(self, layer: LayerTag) -> bool:
-        if layer.place not in ("down", "mid", "up"):
-            return False
-        if layer.is_cross:
-            if self.cross_edit_active:
-                return True
-            # past the cross-alpha window the edit is identity; probs are
-            # still needed where the attention store reads them
-            return self._is_store_layer(layer)
-        # self-attn: edited + stored only at <= 32x32 tokens
-        # (ptp_classes.py:194-200, :135-141)
-        return self.self_edit_active and layer.num_pixels <= 32 * 32
+        # Probabilities are materialized ONLY where the attention store reads
+        # them (the blend-resolution cross layers).  Every other P2P edit is
+        # linear over the token axis and rides the fused path: self-attention
+        # via the map_qkv row-select, cross-attention via linear_token_edit.
+        return self._is_store_layer(layer)
+
+    def linear_token_edit(self, layer: LayerTag):
+        """The cross edit as a linear map over the 77-token axis.
+
+        Replace/Refine/Reweight and the time-word alpha blend
+        (``ptp_classes.py:202-220, 229-283``) compose to
+
+            new_repl = base @ A + repl * b[None, None, :]
+
+        so the edited row's output needs no probability tensor:
+
+            out_edit = softmax_base @ (A @ v_edit)
+                     + softmax_edit @ (b[:, None] * v_edit)
+
+        Returns (A [77,77], b [77]) in float32, or None where the edit does
+        not apply (self-attention, store layers — those keep the probability
+        path so the post-edit maps can be stored).
+        """
+        if (
+            not layer.is_cross
+            or layer.place not in ("down", "mid", "up")
+            or not self.cross_edit_active
+            or self._is_store_layer(layer)
+        ):
+            return None
+        alpha_t = self.cross_alpha[self.step]  # [77]
+        eq = self.equalizer if self.use_reweight else jnp.ones(
+            (MAX_LEN,), jnp.float32)
+        if self.mode == "replace":
+            a_cols = eq * alpha_t
+            A = self.replace_mapper * a_cols[None, :]
+            b = 1.0 - alpha_t
+        else:
+            # refine: new_base = gather(base, mapper)*ra + repl*(1-ra), then
+            # reweight multiplies the WHOLE new_base (incl. the repl part),
+            # then the alpha blend mixes with repl (:258-262, :276-283).
+            M = jax.nn.one_hot(self.refine_mapper, MAX_LEN,
+                               dtype=jnp.float32).T  # M[w, n] = [mapper[n]==w]
+            A = M * (self.refine_alphas * eq * alpha_t)[None, :]
+            b = (1.0 - self.refine_alphas) * eq * alpha_t + (1.0 - alpha_t)
+        return A, b
 
     def _is_store_layer(self, layer: LayerTag) -> bool:
         return (
@@ -194,9 +248,6 @@ def build_p2p_control(
     else:
         self_replace_until = int(num_steps * self_replace_steps[1])
 
-    nz = np.flatnonzero(np.asarray(cross_alpha).any(axis=1))
-    cross_active_until = int(nz[-1] + 1) if nz.size else 0
-
     return P2PControl(
         step=jnp.zeros((), jnp.int32),
         cross_alpha=jnp.asarray(cross_alpha),
@@ -209,7 +260,6 @@ def build_p2p_control(
         self_replace_until=self_replace_until,
         cond_start=cond_start,
         blend_px=blend_px,
-        cross_active_until=cross_active_until,
     )
 
 

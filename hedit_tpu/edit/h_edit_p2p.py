@@ -76,7 +76,6 @@ def h_edit_p2p(
     style_fn=None,
     xts: Optional[jnp.ndarray] = None,
     derive_zs: bool = False,
-    segment: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """h-Edit +P2P (explicit or implicit by cfg.implicit).
 
@@ -244,34 +243,16 @@ def h_edit_p2p(
 
         return (x_prev_orig, x_opt, lb, eps_orig_next), None
 
-    # Segment the scan at the static control windows: past them the P2P
-    # cross/self edits are the identity, so those layers ride the fused
-    # attention path (see P2PControl.needs_probs) — identical numerics,
-    # fewer materialized probability tensors.  Unknown window (-1) or
-    # non-P2P controls fall back to one segment.
-    w_self = min(max(getattr(control, "self_replace_until", N), 0), N)
-    w_cross = getattr(control, "cross_active_until", -1)
-    w_cross = N if w_cross < 0 else min(w_cross, N)
-    # segment=False collapses to ONE scan (2 UNet instantiations total) —
-    # needed where the compiler rejects the 3-segment graph (6 instantiations)
-    can_gate = segment and isinstance(control, P2PControl)
-    cuts = sorted({0, w_self, w_cross, N}) if can_gate else [0, N]
-
+    # ONE scan, 2 UNet instantiations.  No control-window segmentation is
+    # needed: every P2P edit rides the fused attention path with dynamic
+    # step gates that are exact identities outside their windows (the
+    # map_qkv q/k row-select and the linear-v cross rewrite — see
+    # control/p2p.py); only the res-16 store layers materialize
+    # probabilities, and LocalBlend reads those every step anyway.
     xs_all = (steps, grid.ts, grid.tts, grid.zs, x_orig_seq, x_prev_seq)
     carry = (xT, xT, local_blend, jnp.zeros_like(xT))
-    for s, e in zip(cuts[:-1], cuts[1:]):
-        if s >= e:
-            continue
-        seg_control = control
-        if can_gate:
-            seg_control = dataclasses.replace(
-                control,
-                self_edit_active=s < w_self,
-                cross_edit_active=s < w_cross,
-            )
-        carry, _ = jax.lax.scan(
-            lambda c, x, _ctl=seg_control: body_impl(_ctl, c, x),
-            carry, jax.tree_util.tree_map(lambda a: a[s:e], xs_all),
-        )
+    carry, _ = jax.lax.scan(
+        lambda c, x: body_impl(control, c, x), carry, xs_all,
+    )
     x_orig, x_edit = carry[0], carry[1]
     return x_edit, x_orig

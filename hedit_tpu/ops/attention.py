@@ -6,12 +6,14 @@ Here the path is chosen *statically* per (layer, control):
 
 * fused path — Pallas flash attention for long self-attention, XLA
   einsum-softmax for short sequences.  Used whenever
-  ``control.needs_probs(layer)`` is False (includes MasaCtrl / PnP, which only
-  remap q/k/v and never read probabilities).
+  ``control.needs_probs(layer)`` is False.  MasaCtrl / PnP only remap q/k/v
+  (``map_qkv``); P2P's self edit is a q/k row-select (also ``map_qkv``) and
+  its cross edit a linear map over the token axis applied to the edit row's
+  values (``linear_token_edit``) — all ride this path.
 * probability path — materialize ``softmax(qk^T)``, let the control edit/store,
-  then ``probs @ v``.  Only P2P-controlled layers take this path, and P2P
-  ignores self-attention above 32x32 tokens (``ptp_classes.py:194-200``), so the
-  4096-token self-attention never materializes probabilities.
+  then ``probs @ v``.  Taken ONLY at the blend-resolution (16²) cross layers
+  whose post-edit maps the attention store / LocalBlend read
+  (``ptp_classes.py:135-141``), and only for the (base, edit) row pair.
 """
 
 from __future__ import annotations
@@ -98,6 +100,27 @@ def controlled_attention(
         return merge_heads(fused_attention(
             split_heads(qp, heads), split_heads(kp, heads),
             split_heads(vp, heads), use_pallas=use_pallas))
+
+    lin = getattr(control, "linear_token_edit", None)
+    le = lin(layer) if lin is not None else None
+    if le is not None:
+        # Cross P2P edit as a linear map over the token axis (see
+        # P2PControl.linear_token_edit): the edit row's value matrix becomes
+        # b * v_edit in the main fused call, plus one extra fused row
+        # (q_base, k_base, A @ v_edit) added into the edit row's output.
+        # No probability tensor is materialized.
+        A, b = le
+        cs = getattr(control, "cond_start", 0)
+        assert cs + 2 <= q.shape[0], (
+            f"cond_start={cs} needs batch >= {cs + 2}, got {q.shape[0]}"
+        )
+        v_e = v[cs + 1]
+        v_mod = v.at[cs + 1].set((b[:, None] * v_e.astype(jnp.float32))
+                                 .astype(v.dtype))
+        out = fused(q, k, v_mod)
+        va = (A @ v_e.astype(jnp.float32)).astype(v.dtype)
+        extra = fused(q[cs:cs + 1], k[cs:cs + 1], va[None])
+        return out.at[cs + 1].add(extra[0]).astype(q.dtype), {}
 
     if control.needs_probs(layer):
         edit_pair = getattr(control, "edit_pair", None)

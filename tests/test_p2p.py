@@ -145,13 +145,85 @@ def test_edit_probs_reweight_and_store():
 
 
 def test_needs_probs_routing():
-    ctrl = _mk_ctrl()
+    """Probabilities are materialized ONLY at the store layers: the self edit
+    is a q/k row-select and the cross edit a linear-v rewrite (both fused)."""
+    ctrl = _mk_ctrl(blend_px=256)
     big_self = LayerTag(place="down", is_cross=False, num_pixels=4096, index=0)
     small_self = LayerTag(place="down", is_cross=False, num_pixels=1024, index=1)
     cross = LayerTag(place="down", is_cross=True, num_pixels=4096, index=2)
-    assert not ctrl.needs_probs(big_self)   # 64x64 self-attn stays fused
-    assert ctrl.needs_probs(small_self)
-    assert ctrl.needs_probs(cross)
+    store = LayerTag(place="up", is_cross=True, num_pixels=256, index=3,
+                     store_index=0)
+    assert not ctrl.needs_probs(big_self)
+    assert not ctrl.needs_probs(small_self)  # fused via map_qkv row-select
+    assert not ctrl.needs_probs(cross)       # fused via linear_token_edit
+    assert ctrl.needs_probs(store)
+    assert ctrl.linear_token_edit(cross) is not None
+    assert ctrl.linear_token_edit(store) is None
+    assert ctrl.linear_token_edit(big_self) is None
+
+
+def test_self_attn_select_equivalence():
+    """The map_qkv q/k row-select must reproduce the probability-path self
+    edit (edit row output = softmax(q_base k_base^T) @ v_edit) in & out of
+    the replace window."""
+    from hedit_tpu.ops.attention import (
+        attention_probs, controlled_attention, merge_heads, split_heads)
+
+    heads, b, s, hd = 2, 4, 16, 8
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, s, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, hd).astype(np.float32))
+    tag = LayerTag(place="up", is_cross=False, num_pixels=s, index=0)
+    for step in (2, 7):  # inside (<5) and outside the window
+        ctrl = _mk_ctrl(step=jnp.array(step, jnp.int32), cond_start=2)
+        got, store = controlled_attention(q, k, v, heads=heads, layer=tag,
+                                          control=ctrl)
+        assert store == {}
+        qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
+        probs = attention_probs(qh, kh)
+        probs, _ = ctrl.edit_probs(probs, tag)
+        want = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["replace", "refine"])
+@pytest.mark.parametrize("reweight", [False, True])
+def test_cross_linear_edit_equivalence(mode, reweight):
+    """The linear-v cross path must match the full probability-path edit for
+    replace/refine x reweight, including partial alphas and a fractional
+    time-word mask."""
+    from hedit_tpu.ops.attention import (
+        attention_probs, controlled_attention, merge_heads, split_heads)
+
+    heads, b, sq, sk, hd = 2, 3, 16, 77, 8
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(b, sq, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, sk, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, sk, hd).astype(np.float32))
+    tag = LayerTag(place="down", is_cross=True, num_pixels=sq, index=0)
+
+    alpha = jnp.asarray(rng.uniform(0, 1, (11, 77)).astype(np.float32))
+    mapper = jnp.asarray(rng.randint(0, 77, 77))
+    ralphas = jnp.asarray(rng.uniform(0, 1, 77).astype(np.float32))
+    rmat = jnp.asarray(rng.uniform(0, 1, (77, 77)).astype(np.float32))
+    eq = jnp.asarray(rng.uniform(0.5, 2.0, 77).astype(np.float32))
+    ctrl = _mk_ctrl(
+        mode=mode, use_reweight=reweight, cross_alpha=alpha,
+        refine_mapper=mapper, refine_alphas=ralphas, replace_mapper=rmat,
+        equalizer=eq, cond_start=1, step=jnp.array(3, jnp.int32),
+        blend_px=256,  # != num_pixels: NOT a store layer -> linear path
+    )
+    assert ctrl.linear_token_edit(tag) is not None
+    got, store = controlled_attention(q, k, v, heads=heads, layer=tag,
+                                      control=ctrl)
+    assert store == {}
+    qh, kh, vh = (split_heads(t, heads) for t in (q, k, v))
+    probs = attention_probs(qh, kh)
+    probs, _ = ctrl.edit_probs(probs, tag)
+    want = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_local_blend_mask():
