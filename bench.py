@@ -343,6 +343,7 @@ def main():
             x_edit = xts[:, S][:, None]            # [N, 1, H, W, C]
             lb = lb0_v
             eps_orig = None
+            dump = os.environ.get("HEDIT_BENCH_DUMP_HLO")
             for i in range(S):
                 # source branch = stored trajectory points at t and t-1
                 x_orig_t = xts[:, S - i][:, None]
@@ -350,6 +351,18 @@ def main():
                 eps_src = base_v(params, x_edit, ts_dev[i])
                 if eps_orig is None:
                     eps_orig = eps_src  # step 0: x_edit == x_orig == xT
+                if dump and i == 0:
+                    # optimized-HLO dump of the step executable for profile
+                    # cross-referencing (fast when the persistent cache is
+                    # warm); stderr note, stdout stays the JSON line
+                    txt = step_v.lower(
+                        params, x_edit, eps_src, eps_orig, x_orig_t,
+                        x_prev_orig, ts_dev[i], tts_dev[i], ctrl_for(i), lb,
+                    ).compile().as_text()
+                    with open(dump, "w") as f:
+                        f.write(txt)
+                    print(f"# step-executable HLO -> {dump} "
+                          f"({len(txt)} chars)", file=sys.stderr)
                 x_edit, eps_orig, lb = step_v(
                     params, x_edit, eps_src, eps_orig, x_orig_t, x_prev_orig,
                     ts_dev[i], tts_dev[i], ctrl_for(i), lb,
