@@ -45,6 +45,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import pytest  # noqa: E402
 
 
+# Suite wall-clock: ~21 min warm on this image's single CPU core, dominated
+# by tracing/lowering of ~100 distinct scan graphs (XLA compiles are
+# amortized by the persistent cache below).  MEASURED dead end: running the
+# heavy numerics-equivalence tests eagerly (jax.disable_jit) is SLOWER, not
+# faster — 7 tests took 24:41 eager vs ~6 min jitted-warm, because eager
+# pays per-op dispatch on every run while compiles are paid once — and one
+# bit-exactness assertion (indexed-source recon) only holds under jit.
+# With one core there is no parallel lever either; the warm cache is the
+# optimum for this box.
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """The XLA CPU compiler segfaults (stack/heap corruption in
