@@ -256,7 +256,6 @@ def main():
         sweep; reports seconds per image = wall / N."""
         from hedit_tpu.invert.ddpm import sample_xts_from_x0
 
-        ctx4l = jnp.concatenate([uncond, uncond, src, src], axis=0)
         ctx4cl = jnp.concatenate([uncond, src, src, tar], axis=0)
 
         ctx2l = jnp.concatenate([uncond, src], axis=0)
@@ -406,8 +405,11 @@ def main():
 
         @jax.jit
         def edit_full(params, w0, uncond, src, tar, key):
-            # params is an ARGUMENT: the weights stay out of the HLO
-            def eps_ctrl(x, t, c, ctrl):
+            # params is an ARGUMENT: the weights stay out of the HLO.
+            # ctrl defaults to None so the same callable honours the 3-arg
+            # eps_fn contract of invert_ddpm (exercised when skip_zs is
+            # flipped off to A/B the explicit-zs route).
+            def eps_ctrl(x, t, c, ctrl=None):
                 if getattr(ctrl, "stores_attn", False):
                     out, aux = unet.apply(params, x, t, c, ctrl, True,
                                           mutable=["attn_store"])

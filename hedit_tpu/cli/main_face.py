@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--load_trajectory", type=str, default=None, metavar="NPZ",
                    help="inject a captured trajectory (ours or torch NCHW)")
     args = p.parse_args(argv)
+    # A trajectory encodes ONE source image; over --data_file it would be
+    # injected into every pair (or overwritten once per pair on capture).
+    if (args.save_trajectory or args.load_trajectory) and args.data_file:
+        p.error("--save_trajectory/--load_trajectory encode a single source "
+                "image; use --ref/--source instead of --data_file")
     assert args.eta == 1.0, "face swapping requires eta == 1.0 (main_edit.py:64)"
     if args.optimization_steps == 1 and args.weight_edit_face == 50.0:
         args.weight_edit_face = 100.0  # (:60)

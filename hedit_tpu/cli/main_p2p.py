@@ -82,6 +82,17 @@ def parse_args(argv=None):
         assert args.eta > 0, f"{args.mode} requires eta > 0 (DDPM inversion)"
     if args.mode in ("nmg", "nmg_p2p", "pnp_inv_p2p", "h_edit_D_p2p"):
         assert args.eta == 0, f"{args.mode} requires eta == 0 (DDIM inversion)"
+    # A trajectory encodes ONE source image (xts[0] is that image's encoded
+    # latent): injecting it into every sample of a dataset sweep would
+    # silently edit all of them against the wrong trajectory, and capturing
+    # over a sweep would overwrite the npz once per sample keeping the last.
+    if args.save_trajectory or args.load_trajectory:
+        if args.image is None:
+            p.error("--save_trajectory/--load_trajectory encode a single "
+                    "source image; use single-image mode (--image ...)")
+        if args.data_parallel > 0:
+            p.error("trajectory capture/inject is not supported with "
+                    "--data_parallel")
     return args
 
 
@@ -148,6 +159,20 @@ def run_sample(args, pipe, key, item):
 
         traj = load_trajectory(args.load_trajectory,
                                expect_steps=args.num_diffusion_steps)
+        # Cross-check the capture against THIS image's encoded latent: a
+        # trajectory replayed onto a different source image breaks the
+        # reconstruction identity and produces silent garbage.
+        x0_traj = traj.xts[0]
+        x0_here = w0[0] if x0_traj.ndim == w0.ndim - 1 else w0
+        if x0_traj.shape == x0_here.shape:
+            drift = float(jnp.max(jnp.abs(x0_traj - x0_here)))
+            if drift > 0.05:
+                print(
+                    f"WARNING: injected trajectory xts[0] differs from this "
+                    f"image's encoded latent (max|diff|={drift:.3f}); the "
+                    f"capture came from a different image or encoder",
+                    file=sys.stderr,
+                )
 
     # Inversion-free fast path (h_edit_p2p derive_zs): the edit loop rebuilds
     # the residuals from its own controller-source row, so the DDPM inversion

@@ -45,6 +45,17 @@ class MasaCtrlControl:
 
     stores_attn = False
 
+    def __post_init__(self):
+        # start_layer indexes the backbone's self-attention pair range
+        # (reference ``masactrl.py:12-15``): validate against total_layers so
+        # an SDXL-style config actually changes behavior instead of silently
+        # carrying an unread constant.
+        if not 0 <= self.start_layer < self.total_layers:
+            raise ValueError(
+                f"start_layer={self.start_layer} out of range for a backbone "
+                f"with {self.total_layers} self-attention layers"
+            )
+
     def _applies(self, layer: LayerTag) -> bool:
         return (
             not layer.is_cross
