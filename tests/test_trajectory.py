@@ -107,3 +107,37 @@ def test_cli_capture_reinject_bit_identical(tmp_path):
     assert os.path.exists(traj)
     second = run("out2", ["--load_trajectory", traj])
     assert first == second
+
+
+def test_cli_trajectory_guards():
+    """Trajectory flags are single-image-only: dataset sweeps, data-parallel
+    sweeps, and face --data_file runs must be rejected at parse time (a
+    trajectory encodes ONE source image; replaying it across a sweep would
+    silently edit every sample against the wrong trajectory)."""
+    from hedit_tpu.cli.main_face import parse_args as face_args
+    from hedit_tpu.cli.main_p2p import parse_args as p2p_args
+
+    with pytest.raises(SystemExit):  # dataset mode (no --image)
+        p2p_args(["--mode", "h_edit_R_p2p", "--save_trajectory", "t.npz"])
+    with pytest.raises(SystemExit):  # data-parallel sweep
+        p2p_args(["--mode", "h_edit_R_p2p", "--image", "x.jpg",
+                  "--load_trajectory", "t.npz", "--data_parallel", "2"])
+    with pytest.raises(SystemExit):  # face dataset mode
+        face_args(["--data_file", "d.json", "--save_trajectory", "t.npz"])
+    # single-image capture parses fine
+    a = p2p_args(["--mode", "h_edit_R_p2p", "--image", "x.jpg",
+                  "--save_trajectory", "t.npz"])
+    assert a.save_trajectory == "t.npz"
+
+
+def test_masactrl_start_layer_validation():
+    """start_layer out of the backbone's self-attn layer range must raise at
+    construction (reference SDXL map masactrl.py:12-15 carried as config)."""
+    from hedit_tpu.control.masactrl import MODEL_TYPE_LAYERS, MasaCtrlControl
+
+    step = jnp.zeros((), jnp.int32)
+    with pytest.raises(ValueError, match="start_layer"):
+        MasaCtrlControl(step=step, start_step=4, start_layer=16)  # SD: 16
+    ctrl = MasaCtrlControl(step=step, start_step=4, start_layer=45,
+                           total_layers=MODEL_TYPE_LAYERS["SDXL"])
+    assert ctrl.total_layers == 70
