@@ -33,6 +33,7 @@ from test_e2e_text_parity import (  # noqa: E402
     _TextEnc,
     _Tok,
     _UNetWrap,
+    assert_close_pixelwise,
 )
 from test_torch_parity import _load_ref_module, _randomize, _state_np, needs_reference  # noqa: E402
 from test_torch_parity_sd import _TorchSDUNet  # noqa: E402
@@ -169,8 +170,12 @@ class _UNetWrapP2P(_UNetWrap):
 
 
 @needs_reference
-@pytest.mark.parametrize("cfg_src", [1.0, 1.25])
-def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src):
+@pytest.mark.parametrize("cfg_src,inversion", [
+    (1.0, "ddpm"),    # flagship h-Edit-R + P2P (fused single-row base)
+    (1.25, "ddpm"),   # batch-4 CFG base path
+    (1.0, "ddim"),    # h-Edit-D + P2P (un-normalized zs, DDIM reverse_step)
+])
+def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src, inversion):
     _install_p2p_shims()
     from types import SimpleNamespace
 
@@ -204,10 +209,20 @@ def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src):
 
     rng = np.random.RandomState(4)
     w0 = rng.randn(1, 4, 16, 16).astype(np.float32) * 0.3
-    _, zs_t, xts_t, _ = ref_ddpm.inversion_forward_process_ddpm(
-        pipe, torch.from_numpy(w0), etas=1.0, prog_bar=False,
-        prompt=PROMPTS[0], cfg_scale_src=1.0, num_inference_steps=S,
-    )
+    is_ddim = inversion == "ddim"
+    if is_ddim:
+        ref_ddim = _load_ref_module(
+            "ref_ddim_inv_p2p", "text-guided/inversion/ddim_inversion.py")
+        with torch.no_grad():
+            _, zs_t, lat_t = ref_ddim.ddim_inversion(
+                pipe, torch.from_numpy(w0), PROMPTS[0], cfg_src)
+        xts_t = torch.cat(lat_t)  # [S+1, 1->cat, 4, 16, 16] row-stacked
+    else:
+        torch.manual_seed(123)  # the reference DDPM inversion draws unseeded noise
+        _, zs_t, xts_t, _ = ref_ddpm.inversion_forward_process_ddpm(
+            pipe, torch.from_numpy(w0), etas=1.0, prog_bar=False,
+            prompt=PROMPTS[0], cfg_scale_src=1.0, num_inference_steps=S,
+        )
 
     # ---- reference controller stack: Refine chained into Reweight -------- #
     refine = ref_classes.AttentionRefine(
@@ -223,7 +238,7 @@ def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src):
     edited_t, recon_t = ref_hedit.h_Edit_p2p_implicit(
         pipe, xts_t[S], eta=1.0, prompts=PROMPTS, cfg_scales=[cfg_src, *CFGS[1:]],
         zs=zs_t, controller=controller, weight_reconstruction=0.1,
-        optimization_steps=2, after_skip_steps=S, is_ddim_inversion=False,
+        optimization_steps=2, after_skip_steps=S, is_ddim_inversion=is_ddim,
     )
 
     # ---- our side: same trajectory, same controller tensors -------------- #
@@ -268,7 +283,7 @@ def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src):
     )
     cfg = HEditConfig(cfg_src=cfg_src, cfg_src_edit=CFGS[1], cfg_tar=CFGS[2],
                       implicit=True, optimization_steps=2,
-                      weight_reconstruction=0.1)
+                      weight_reconstruction=0.1, is_ddim_inversion=is_ddim)
     ours_edit, ours_recon = h_edit_p2p(
         eps_ctrl, sched, traj.xts[S][None], traj.zs,
         uncond_ctx=ctx_of(""), src_ctx=ctx_of(PROMPTS[0]),
@@ -276,11 +291,5 @@ def test_h_edit_p2p_implicit_matches_reference(tmp_path, cfg_src):
         control=ctrl_ours,
     )
     for ours, theirs in ((ours_edit, edited_t), (ours_recon, recon_t)):
-        np.testing.assert_allclose(
-            np.asarray(ours),
-            theirs.detach().numpy().transpose(0, 2, 3, 1),
-            # measured drift: max 2.05e-4 abs on 1/1024 elements (f32
-            # accumulation through the refine-gather/equalizer composition
-            # over 6 steps x 2 opt loops; the no-control loops match at 2e-5)
-            rtol=5e-4, atol=3e-4,
-        )
+        # measured drift at seed 123: mean ~1e-6, max 7e-4 on 1/1024 elements
+        assert_close_pixelwise(ours, theirs)
