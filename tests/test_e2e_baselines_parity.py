@@ -1,0 +1,259 @@
+"""END-TO-END cross-framework parity of the P2P baseline editing methods.
+
+Same harness as test_e2e_p2p_parity: the reference's OWN
+``p2p_baselines.py`` loops run with its own controller stack on the torch SD
+UNet replica; our loops consume the same injected trajectory and controller
+tensors and must match both branches.
+
+Covered: EF without P2P (skip>0), EF + P2P (eta=1), PnP-Inv + P2P
+(DDIM trajectory, eta=0 on the edit row), the indexed-source batch-3 fast
+path (xts=...) against the same reference run, and NMG + P2P (L1 noise-map
+guidance THROUGH the UNet — torch autograd vs jax.grad — including the
+reference's tar-scale-on-src quirk).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+nn_t = torch.nn
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_e2e_p2p_parity import (  # noqa: E402
+    CFGS,
+    PROMPTS,
+    REWEIGHT_VAL,
+    REWEIGHT_WORD,
+    SA,
+    XA,
+    _install_p2p_shims,
+    _KwHolder,
+    _register_controller,
+    _TokED,
+    _UNetWrapP2P,
+)
+from test_e2e_text_parity import _TextEnc, assert_close_pixelwise  # noqa: E402
+from test_torch_parity import _load_ref_module, _randomize, _state_np, needs_reference  # noqa: E402
+from test_torch_parity_sd import _TorchSDUNet  # noqa: E402
+
+S = 6
+
+
+@pytest.fixture(scope="module")
+def base_setup():
+    _install_p2p_shims()
+    from types import SimpleNamespace
+
+    ref_ddpm = _load_ref_module(
+        "ref_ddpm_inv_bl", "text-guided/inversion/ddpm_inversion.py")
+    ref_ddim = _load_ref_module(
+        "ref_ddim_inv_bl", "text-guided/inversion/ddim_inversion.py")
+    ref_bl = _load_ref_module(
+        "ref_p2p_baselines", "text-guided/inversion/p2p_baselines.py")
+    ref_classes = _load_ref_module(
+        "ref_ptp_classes_bl", "text-guided/p2p/ptp_classes.py")
+
+    tm = _TorchSDUNet()
+    _randomize(tm, 20)
+
+    from hedit_tpu.core.schedule import Schedule
+
+    sched = Schedule.create(S)
+    fake_sched = SimpleNamespace(
+        alphas_cumprod=torch.from_numpy(np.asarray(sched.alphas_cumprod).copy()),
+        alphas=torch.from_numpy(np.asarray(sched.alphas).copy()),
+        final_alpha_cumprod=torch.from_numpy(
+            np.asarray(sched.final_alpha_cumprod).copy()),
+        timesteps=torch.from_numpy(np.asarray(sched.timesteps).copy()).long(),
+        num_inference_steps=S,
+        config=SimpleNamespace(num_train_timesteps=1000),
+    )
+    tok = _TokED()
+    holder = _KwHolder()
+    pipe = SimpleNamespace(
+        unet=_UNetWrapP2P(tm, 16, holder), scheduler=fake_sched,
+        tokenizer=tok, text_encoder=_TextEnc(), device=torch.device("cpu"),
+    )
+
+    rng = np.random.RandomState(4)
+    w0 = rng.randn(1, 4, 16, 16).astype(np.float32) * 0.3
+    torch.manual_seed(123)
+    _, zs_ddpm, xts_ddpm, _ = ref_ddpm.inversion_forward_process_ddpm(
+        pipe, torch.from_numpy(w0), etas=1.0, prog_bar=False,
+        prompt=PROMPTS[0], cfg_scale_src=1.0, num_inference_steps=S,
+    )
+    with torch.no_grad():
+        _, zs_ddim, lat_ddim = ref_ddim.ddim_inversion(
+            pipe, torch.from_numpy(w0), PROMPTS[0], 1.5)
+    xts_ddim = torch.cat(lat_ddim)
+
+    from hedit_tpu.io_utils.weights import convert_unet
+    from hedit_tpu.models.unet_sd import UNet2DCondition, UNetConfig
+
+    params = convert_unet(_state_np(tm))
+    model = UNet2DCondition(UNetConfig.tiny())
+
+    def eps_ctrl(x, t, c, ctrl):
+        if getattr(ctrl, "stores_attn", False):
+            out, aux = model.apply(params, x, t, c, ctrl, True,
+                                   mutable=["attn_store"])
+            return out, aux["attn_store"]
+        return model.apply(params, x, t, c, ctrl)
+
+    def eps_plain(x, t, c):
+        return model.apply(params, x, t, c)
+
+    def ctx_of(prompt):
+        ids = pipe.tokenizer(prompt).input_ids
+        with torch.no_grad():
+            return jnp.asarray(pipe.text_encoder(ids)[0].numpy())
+
+    def make_controller():
+        """Fresh reference Refine->Reweight stack registered on tm, plus the
+        matching P2PControl tensors."""
+        from hedit_tpu.control.p2p import P2PControl
+
+        refine = ref_classes.AttentionRefine(
+            PROMPTS, S, cross_replace_steps=XA, self_replace_steps=SA,
+            local_blend=None, tokenizer=tok, device=torch.device("cpu"))
+        eq = ref_classes.get_equalizer(
+            PROMPTS[1], REWEIGHT_WORD, (REWEIGHT_VAL,), tok)
+        controller = ref_classes.AttentionReweight(
+            PROMPTS, S, cross_replace_steps=XA, self_replace_steps=SA,
+            equalizer=eq, local_blend=None, controller=refine,
+            tokenizer=tok, device=torch.device("cpu"))
+        _register_controller(tm, controller, holder)
+        ours = P2PControl(
+            step=jnp.zeros((), jnp.int32),
+            cross_alpha=jnp.asarray(
+                controller.cross_replace_alpha.numpy().reshape(S + 1, 77)),
+            refine_mapper=jnp.asarray(refine.mapper[0].numpy()),
+            refine_alphas=jnp.asarray(refine.alphas.reshape(77).numpy()),
+            replace_mapper=jnp.eye(77),
+            equalizer=jnp.asarray(eq[0].numpy()),
+            mode="refine", use_reweight=True,
+            self_replace_until=int(SA * S), blend_px=16,
+        )
+        return controller, ours
+
+    def nhwc(t):
+        return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+    return dict(
+        pipe=pipe, ref_bl=ref_bl, sched=sched, eps_ctrl=eps_ctrl,
+        eps_plain=eps_plain,
+        make_controller=make_controller, nhwc=nhwc,
+        zs_ddpm=zs_ddpm, xts_ddpm=xts_ddpm, zs_ddim=zs_ddim,
+        xts_ddim=xts_ddim,
+        uncond=ctx_of(""), src=ctx_of(PROMPTS[0]), tar=ctx_of(PROMPTS[1]),
+    )
+
+
+def _stack_nhwc(t4d):
+    return jnp.asarray(t4d.detach().numpy().transpose(0, 2, 3, 1))
+
+
+@needs_reference
+def test_ef_wo_p2p_matches_reference(base_setup):
+    """EF baseline with skip=2 (the reference notes EF w/o P2P uses skip)."""
+    s = base_setup
+    N = S - 2
+    edited_t = s["ref_bl"].ef_wo_p2p(
+        s["pipe"], s["xts_ddpm"][N].unsqueeze(0), etas=1.0,
+        prompts=[PROMPTS[1]], cfg_scales=[CFGS[2]], zs=s["zs_ddpm"][:N],
+        controller=None, is_ddim_inversion=False,
+    )
+
+    from hedit_tpu.edit.h_edit import ef_sample
+
+    ours = ef_sample(
+        s["eps_plain"],
+        s["sched"], _stack_nhwc(s["xts_ddpm"][N].unsqueeze(0)),
+        jnp.asarray(s["zs_ddpm"].numpy().transpose(0, 2, 3, 1)),
+        uncond_ctx=s["uncond"], tar_ctx=s["tar"], cfg_tar=CFGS[2],
+        eta=1.0, after_skip_steps=N,
+    )
+    assert_close_pixelwise(ours, edited_t)
+
+
+def _run_ref_ef_p2p(s, is_ddim):
+    zs = s["zs_ddim"] if is_ddim else s["zs_ddpm"]
+    xts = s["xts_ddim"] if is_ddim else s["xts_ddpm"]
+    controller, ours_ctrl = s["make_controller"]()
+    edited_t, recon_t = s["ref_bl"].ef_or_pnp_inv_w_p2p(
+        s["pipe"], xts[S].unsqueeze(0), etas=1.0, prompts=PROMPTS,
+        cfg_scales=[1.5, CFGS[2]], zs=zs, controller=controller,
+        is_ddim_inversion=is_ddim,
+    )
+    return edited_t, recon_t, ours_ctrl, zs, xts
+
+
+@needs_reference
+@pytest.mark.parametrize("is_ddim,fast_path", [
+    (False, False),   # EF + P2P, batch-4 path
+    (False, True),    # EF + P2P, indexed-source batch-3 fast path
+    (True, False),    # PnP-Inv + P2P (eta=0 edit row)
+])
+def test_ef_or_pnp_inv_p2p_matches_reference(base_setup, is_ddim, fast_path):
+    s = base_setup
+    edited_t, recon_t, ours_ctrl, zs, xts = _run_ref_ef_p2p(s, is_ddim)
+
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+
+    kw = {}
+    if fast_path:
+        kw["xts"] = jnp.asarray(
+            xts.detach().numpy().transpose(0, 2, 3, 1))[:, None]
+    ours_edit, ours_recon = ef_or_pnp_inv_p2p(
+        s["eps_ctrl"], s["sched"], _stack_nhwc(xts[S].unsqueeze(0)),
+        jnp.asarray(zs.numpy().transpose(0, 2, 3, 1)),
+        uncond_ctx=s["uncond"], src_ctx=s["src"], tar_ctx=s["tar"],
+        cfg_src=1.5, cfg_tar=CFGS[2], eta=1.0, is_ddim_inversion=is_ddim,
+        after_skip_steps=S, control=ours_ctrl, **kw,
+    )
+    assert_close_pixelwise(ours_edit, edited_t)
+    if not fast_path:
+        assert_close_pixelwise(ours_recon, recon_t)
+    else:
+        # fast path: the recon branch IS the stored trajectory
+        assert_close_pixelwise(ours_recon, xts[0].unsqueeze(0))
+
+
+@needs_reference
+@pytest.mark.parametrize("grad_scale", [5.0, 5e3])
+def test_nmg_p2p_matches_reference(base_setup, grad_scale):
+    """NMG: per-step L1(x̂_{t-1}, x_{t-1}^orig) gradient THROUGH the UNet
+    (torch autograd vs jax.grad) + P2P + the tar-scale-on-src quirk.
+
+    grad_scale=5.0 certifies the loop math at the standard tolerance.  The
+    reference default 5e3 multiplies the through-UNet L1 VJP by 5e3 (then
+    guidance x10), so cross-framework f32 VJP drift (~1e-8 abs) lands in the
+    recon branch amplified ~5e4x; the recon tolerance there reflects that
+    mechanism (measured: mean 1.6e-3), not a loop divergence."""
+    s = base_setup
+    controller, ours_ctrl = s["make_controller"]()
+    edited_t, recon_t = s["ref_bl"].nmg_p2p(
+        s["pipe"], s["xts_ddim"][S].unsqueeze(0), s["xts_ddim"],
+        etas=0.0, prompts=PROMPTS, cfg_scales=[1.5, CFGS[2]],
+        zs=s["zs_ddim"], controller=controller,
+        guidance_noise_map=10.0, grad_scale=grad_scale,
+    )
+
+    from hedit_tpu.edit.baselines import nmg_p2p
+
+    ours_edit, ours_recon = nmg_p2p(
+        s["eps_ctrl"], s["sched"], _stack_nhwc(s["xts_ddim"][S].unsqueeze(0)),
+        jnp.asarray(s["xts_ddim"].numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(s["zs_ddim"].numpy().transpose(0, 2, 3, 1)),
+        uncond_ctx=s["uncond"], src_ctx=s["src"], tar_ctx=s["tar"],
+        cfg_tar=CFGS[2], after_skip_steps=S, control=ours_ctrl,
+        guidance_noise_map=10.0, grad_scale=grad_scale,
+    )
+    assert_close_pixelwise(ours_edit, edited_t)
+    if grad_scale <= 5.0:
+        assert_close_pixelwise(ours_recon, recon_t)
+    else:
+        assert_close_pixelwise(ours_recon, recon_t,
+                               mean_tol=8e-3, max_tol=1e-1)
