@@ -102,7 +102,7 @@ def ef_or_pnp_inv_p2p(
 
     no_blend = local_blend is None
     if local_blend is None:
-        px = control.blend_px if control is not None else 256
+        px = getattr(control, "blend_px", 256) if control is not None else 256
         local_blend = LocalBlendState(
             alpha_layers=jnp.zeros((2, 77), jnp.float32),
             store_sum=jnp.zeros((5, 2, 1, px, 77), jnp.float32),
@@ -210,7 +210,7 @@ def nmg_p2p(
 
     no_blend = local_blend is None
     if local_blend is None:
-        px = control.blend_px if control is not None else 256
+        px = getattr(control, "blend_px", 256) if control is not None else 256
         local_blend = LocalBlendState(
             alpha_layers=jnp.zeros((2, 77), jnp.float32),
             store_sum=jnp.zeros((5, 2, 1, px, 77), jnp.float32),
