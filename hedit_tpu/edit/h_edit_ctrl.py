@@ -136,6 +136,15 @@ def h_edit_pnp(
     N = after_skip_steps
     grid = make_step_grid(schedule, zs, N)
     steps = jnp.arange(N, dtype=jnp.int32)
+    # The reference gates injection on the time the UNet is CALLED at: the
+    # correction pair runs at tt = timesteps[i+1] (``pnp_h_edit.py:131-146``
+    # register_time(model, tt) before the pair call), so schedule membership
+    # is i+1 < int(N*frac) — shift the step masks by one (last step's
+    # tt = 0 is never in the schedule).  The baseline loops' pair calls run
+    # at t and keep the unshifted masks.
+    false1 = jnp.zeros((1,), bool)
+    qk_mask = jnp.concatenate([jnp.asarray(qk_mask)[1:], false1])
+    conv_mask = jnp.concatenate([jnp.asarray(conv_mask)[1:], false1])
     ctx4_base = jnp.concatenate([uncond_ctx, uncond_ctx, src_ctx, src_ctx], axis=0)
     ctx2_base = jnp.concatenate([uncond_ctx, src_ctx], axis=0)
     ctx_pair = jnp.concatenate([src_ctx, tar_ctx], axis=0)

@@ -13,14 +13,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hedit_tpu.ops.resize import resize_torch
+
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def clip_preprocess_pm1(img: jnp.ndarray, size: int = 224) -> jnp.ndarray:
-    """[-1,1] NHWC -> CLIP-normalized, resized (``base_clip.py:38-41,55-57``)."""
-    b, h, w, c = img.shape
-    x = jax.image.resize(img, (b, size, size, c), method="bicubic")
+    """[-1,1] NHWC -> CLIP-normalized, resized (``base_clip.py:38-41,55-57``).
+
+    The resize matches torch's ``F.interpolate(mode='bicubic')`` exactly
+    (a=-0.75, no antialias — NOT jax.image.resize's Keys a=-0.5 kernel);
+    the style VJP differentiates through it."""
+    x = resize_torch(img, (size, size), mode="bicubic")
     mean = jnp.asarray(CLIP_MEAN * 2 - 1)
     std = jnp.asarray(CLIP_STD * 2)
     return (x - mean) / std
