@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from hedit_tpu.control.base import LayerTag, NoControl
 from hedit_tpu.ops.flash_attention import (
     flash_attention_bounded,
+    flash_kv_fits,
     reference_attention,
 )
 
@@ -57,7 +58,8 @@ def fused_attention(q, k, v, *, use_pallas: bool = True) -> jnp.ndarray:
     """Route to Pallas flash or XLA by sequence length (static shapes)."""
     sq, sk = q.shape[2], k.shape[2]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if use_pallas and on_tpu and sq >= FLASH_MIN_SEQ and sk >= FLASH_MIN_SEQ:
+    if (use_pallas and on_tpu and sq >= FLASH_MIN_SEQ and sk >= FLASH_MIN_SEQ
+            and flash_kv_fits(sk, q.shape[3], q.dtype.itemsize)):
         # bounded (max-free) kernel: 4.38 ms vs the exact-max v3's 5.15 at
         # the hot [4,32,4096,40] bf16 shape, sitting on the measured 4.34 ms
         # dot->cast->dot MXU floor (scripts/flash_ablate.py).

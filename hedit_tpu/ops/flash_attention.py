@@ -123,6 +123,41 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
+# Both kernels keep K and V fully VMEM-resident per program (their index maps
+# are constant in the q-block coordinate, so Mosaic streams them once, no
+# double-buffering).  That residency is structural: 2 * Sk * D * itemsize
+# bytes off the 16M scoped budget before any score tile exists.  Shapes whose
+# residency exceeds half the budget can't leave room for the working tiles at
+# any block size — the caller must take the XLA path.  (Seen: bf16 d=512
+# S=4096 VAE mid-block = 8.4M resident compiles with 1024x1024 blocks; the
+# f32 version would be 16.8M resident — unfittable.)
+FLASH_KV_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def flash_kv_fits(sk: int, d: int, itemsize: int) -> bool:
+    """Whether a [*, Sk, D] K/V pair of this dtype fits the kernels' VMEM
+    residency budget.  Routing predicate for ``fused_attention``."""
+    return 2 * sk * d * itemsize <= FLASH_KV_BUDGET_BYTES
+
+
+def _shrink_blocks(d: int, itemsize: int, blk_q: int, blk_k: int):
+    """Block sizes that fit the 16M scoped-VMEM limit for this (d, dtype).
+
+    The defaults (2048x512) are tuned for the bf16 SD head dims.  The score
+    and probability tiles cost blk_k * blk_q * (4 + itemsize) bytes each
+    live pair, so f32 inputs need half the q-block (measured: f32 d=40
+    S=4096 at 2048x512 = 18.41M scoped > 16M; 1024x512 fits).  Large head
+    dims additionally grow the K/V residency and the [D+1, blk_q] f32
+    accumulator — the proven fallback there is 1024x1024 (bf16), halved
+    again for f32.
+    """
+    if d > 128:
+        blk_q, blk_k = min(blk_q, 1024), 1024
+    if itemsize >= 4:
+        blk_q = min(blk_q, 1024 if d <= 128 else 512)
+    return blk_q, blk_k
+
+
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
 def flash_attention(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
                     interpret: bool = False):
@@ -140,15 +175,7 @@ def flash_attention(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
     b, h, sq, d = q.shape
     sk = k.shape[2]
     sm_scale = 1.0 / (d**0.5)
-
-    if d > 128:
-        # The 2048x512 default blocks are tuned for the SD UNet head dims
-        # (40/80); at large head dims the f32 accumulator [D+1, blk_q] and
-        # score tile blow the 16M scoped-VMEM limit (seen: 16.04M at the VAE
-        # mid-block's single-head d=512, S=4096 attention).  Fall back to the
-        # proven 1024x1024 blocking for that regime.
-        blk_q, blk_k = min(blk_q, 1024), 1024
-
+    blk_q, blk_k = _shrink_blocks(d, q.dtype.itemsize, blk_q, blk_k)
     blk_q = min(blk_q, max(128, sq))
     blk_k = min(blk_k, max(128, sk))
 
@@ -271,8 +298,7 @@ def flash_attention_bounded(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
     b, h, sq, d = q.shape
     sk = k.shape[2]
     sm_scale = 1.0 / (d**0.5)
-    if d > 128:
-        blk_q, blk_k = min(blk_q, 1024), 1024
+    blk_q, blk_k = _shrink_blocks(d, q.dtype.itemsize, blk_q, blk_k)
     blk_q = min(blk_q, max(128, sq))
     blk_k = min(blk_k, max(128, sk))
     qp = _pad_to(q, 2, blk_q)

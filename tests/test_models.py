@@ -107,6 +107,26 @@ def test_flash_attention_bf16_tolerance():
     assert err.max() / scale < 3e-2, err.max() / scale
 
 
+def test_flash_vmem_routing():
+    """Scoped-VMEM sizing rules: f32 halves the q-block (observed 18.41M >
+    16M at f32 d=40 S=4096 with the bf16-tuned 2048x512 blocks), and shapes
+    whose full-K/V VMEM residency exceeds half the scoped budget must leave
+    the Pallas path entirely (f32 VAE-mid-block scale)."""
+    from hedit_tpu.ops.flash_attention import _shrink_blocks, flash_kv_fits
+
+    assert _shrink_blocks(40, 2, 2048, 512) == (2048, 512)   # bf16: tuned
+    assert _shrink_blocks(40, 4, 2048, 512) == (1024, 512)   # f32: half q
+    assert _shrink_blocks(512, 2, 2048, 512) == (1024, 1024)  # big-d bf16
+    assert _shrink_blocks(512, 4, 2048, 512) == (512, 1024)   # big-d f32
+    # explicit small test blocks are never raised
+    assert _shrink_blocks(40, 4, 128, 128) == (128, 128)
+
+    assert flash_kv_fits(4096, 40, 2)       # bf16 UNet self-attn
+    assert flash_kv_fits(4096, 40, 4)       # f32 UNet self-attn (entry())
+    assert flash_kv_fits(4096, 512, 2)      # bf16 VAE mid-block (8.4M, fits)
+    assert not flash_kv_fits(4096, 512, 4)  # f32 VAE mid-block (16.8M): XLA
+
+
 def test_clip_text_parity_with_torch():
     """Random-init torch CLIPTextModel -> weight port -> activation parity."""
     torch = pytest.importorskip("torch")
