@@ -12,6 +12,9 @@ guidance THROUGH the UNet — torch autograd vs jax.grad — including the
 reference's tar-scale-on-src quirk).
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import numpy as np
 import pytest
 

@@ -16,6 +16,9 @@ mirrored weight-exactly in JAX — the reward NETWORKS have their own parity
 tests; these loops need only identical differentiable critics on both sides.
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import numpy as np
 import pytest
 

@@ -12,6 +12,9 @@ Shimmed: ``masa_ctrl`` package alias (the reference's broken import,
 (imported, unused on this path).
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import numpy as np
 import pytest
 

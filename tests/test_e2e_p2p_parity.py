@@ -18,6 +18,9 @@ alpha/equalizer composition, counter<->step mapping) is certified against
 the reference implementation end to end.
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import numpy as np
 import pytest
 

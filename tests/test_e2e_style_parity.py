@@ -18,6 +18,9 @@ This also certifies ``ops/resize.py``: the style VJP differentiates through
 runs first so a kernel mismatch fails loudly rather than as loop drift.
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import numpy as np
 import pytest
 

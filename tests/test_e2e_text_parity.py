@@ -15,6 +15,9 @@ the step-0 pre-optimization at ``time_ahead`` under skip > 0, and the
 L1-reconstruction pull's RMS-normalized rho.
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import sys
 import types
 from types import SimpleNamespace
@@ -36,13 +39,29 @@ S = 6
 CFGS = (1.0, 3.0, 5.0)
 
 
+def _mk_stub(name):
+    """A stub module with a real ModuleSpec.
+
+    ``types.ModuleType`` leaves ``__spec__ = None``, and
+    ``importlib.util.find_spec`` raises ``ValueError: <name>.__spec__ is
+    None`` for such sys.modules entries — so a bare stub makes EVERY later
+    availability probe for 'diffusers' (transformers/accelerate-style
+    ``find_spec`` checks) blow up in whichever unrelated test imports them
+    after an e2e module ran.  Order-dependence hazard; give the stubs specs."""
+    import importlib.machinery
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
 def _install_shims():
     """Stub diffusers.utils.torch_utils (imported, never called on our path)
     and alias the reference's ``inversion`` package for its absolute imports."""
     if "diffusers" not in sys.modules:
-        d = types.ModuleType("diffusers")
-        du = types.ModuleType("diffusers.utils")
-        dt = types.ModuleType("diffusers.utils.torch_utils")
+        d = _mk_stub("diffusers")
+        du = _mk_stub("diffusers.utils")
+        dt = _mk_stub("diffusers.utils.torch_utils")
         dt.randn_tensor = lambda shape, generator=None, device=None, dtype=None: (
             torch.randn(shape, generator=generator, device=device, dtype=dtype))
         d.utils = du
@@ -51,7 +70,7 @@ def _install_shims():
         sys.modules["diffusers.utils"] = du
         sys.modules["diffusers.utils.torch_utils"] = dt
     if "inversion" not in sys.modules:
-        pkg = types.ModuleType("inversion")
+        pkg = _mk_stub("inversion")
         pkg.__path__ = [REF + "/text-guided/inversion"]
         sys.modules["inversion"] = pkg
 

@@ -22,6 +22,9 @@ Reference config source: the reference loads these modules via
 ``StableDiffusionPipeline.from_pretrained`` (``text-guided/main_p2p.py:98-106``).
 """
 
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
 import math
 
 import jax
