@@ -136,8 +136,16 @@ FLASH_KV_BUDGET_BYTES = 8 * 1024 * 1024
 
 def flash_kv_fits(sk: int, d: int, itemsize: int) -> bool:
     """Whether a [*, Sk, D] K/V pair of this dtype fits the kernels' VMEM
-    residency budget.  Routing predicate for ``fused_attention``."""
-    return 2 * sk * d * itemsize <= FLASH_KV_BUDGET_BYTES
+    residency budget.  Routing predicate for ``fused_attention``.
+
+    The kernels pad Sk up to a blk_k multiple, so residency is charged on
+    the worst-case padded length (blk_k <= 1024) — an unaligned sk just
+    under the budget cannot sneak past the check and OOM after padding."""
+    sk_padded = -(-sk // 1024) * 1024
+    return 2 * sk_padded * d * itemsize <= FLASH_KV_BUDGET_BYTES
+
+
+_DEFAULT_BLK_K = 512
 
 
 def _shrink_blocks(d: int, itemsize: int, blk_q: int, blk_k: int):
@@ -149,10 +157,13 @@ def _shrink_blocks(d: int, itemsize: int, blk_q: int, blk_k: int):
     S=4096 at 2048x512 = 18.41M scoped > 16M; 1024x512 fits).  Large head
     dims additionally grow the K/V residency and the [D+1, blk_q] f32
     accumulator — the proven fallback there is 1024x1024 (bf16), halved
-    again for f32.
+    again for f32.  The d>128 k-block widening is an efficiency RAISE and
+    applies only to the untouched default: explicitly-passed small blocks
+    (interpret-mode oracles, tests) are never enlarged, only capped.
     """
     if d > 128:
-        blk_q, blk_k = min(blk_q, 1024), 1024
+        blk_q = min(blk_q, 1024)
+        blk_k = 1024 if blk_k == _DEFAULT_BLK_K else min(blk_k, 1024)
     if itemsize >= 4:
         blk_q = min(blk_q, 1024 if d <= 128 else 512)
     return blk_q, blk_k
@@ -391,6 +402,16 @@ def flash_attention_packed(q, k, v, *, heads: int, blk_q: int = 1024,
     d = hd // heads
     sm_scale = 1.0 / (d**0.5)
 
+    # Same guards as the head-split kernels: the packed program keeps the
+    # full [Sk, H*D] K/V pair VMEM-resident, and the score tiles obey the
+    # same (d, dtype) budget rules.
+    if not flash_kv_fits(sk, hd, q.dtype.itemsize):
+        raise ValueError(
+            f"flash_attention_packed: K/V residency 2*{sk}*{hd}*"
+            f"{q.dtype.itemsize}B exceeds the scoped-VMEM budget; use the "
+            f"head-split flash_attention or the XLA path"
+        )
+    blk_q, blk_k = _shrink_blocks(d, q.dtype.itemsize, blk_q, blk_k)
     blk_q = min(blk_q, max(128, sq))
     blk_k = min(blk_k, max(128, sk))
     qp = _pad_to(q, 1, blk_q)

@@ -118,13 +118,20 @@ def test_flash_vmem_routing():
     assert _shrink_blocks(40, 4, 2048, 512) == (1024, 512)   # f32: half q
     assert _shrink_blocks(512, 2, 2048, 512) == (1024, 1024)  # big-d bf16
     assert _shrink_blocks(512, 4, 2048, 512) == (512, 1024)   # big-d f32
-    # explicit small test blocks are never raised
+    # explicit small test blocks are never raised — including at d > 128,
+    # where the 1024-wide k block applies only to the untouched default
     assert _shrink_blocks(40, 4, 128, 128) == (128, 128)
+    assert _shrink_blocks(512, 2, 2048, 128) == (1024, 128)
+    assert _shrink_blocks(160, 4, 512, 128) == (512, 128)
 
     assert flash_kv_fits(4096, 40, 2)       # bf16 UNet self-attn
     assert flash_kv_fits(4096, 40, 4)       # f32 UNet self-attn (entry())
     assert flash_kv_fits(4096, 512, 2)      # bf16 VAE mid-block (8.4M, fits)
     assert not flash_kv_fits(4096, 512, 4)  # f32 VAE mid-block (16.8M): XLA
+    # residency is charged on the PADDED Sk: 6500 f32 d=160 fits unpadded
+    # (8.32M) but pads to 7168 (9.17M) — must route to XLA
+    assert not flash_kv_fits(6500, 160, 4)
+    assert flash_kv_fits(6144, 160, 4)      # aligned boundary still fits
 
 
 def test_clip_text_parity_with_torch():
