@@ -17,6 +17,26 @@ def force_platform(platform: Optional[str]):
         jax.config.update("jax_platforms", platform)
 
 
+def add_resume_arg(p: argparse.ArgumentParser):
+    p.add_argument("--resume", action="store_true",
+                   help="skip a sample when its output file already exists "
+                        "(cheap crash resume, SURVEY.md §5.3); the default "
+                        "recomputes and overwrites like the reference")
+
+
+def resume_skip(args, out_path: str, key=None) -> bool:
+    """True when --resume is set and this sample's output already exists.
+
+    The reference has no resume at all — a crashed 700-image PieBench run
+    restarts from scratch (SURVEY.md §5.3 names the per-sample output
+    existence check as the one required piece)."""
+    if getattr(args, "resume", False) and os.path.exists(out_path):
+        print(f"[{key if key is not None else out_path}] output exists, "
+              f"skipping (--resume)")
+        return True
+    return False
+
+
 def add_common_model_args(p: argparse.ArgumentParser):
     p.add_argument("--weights", type=str, default=os.environ.get("HEDIT_SD_WEIGHTS"),
                    help="diffusers-layout checkpoint dir (unet/ vae/ text_encoder/)")

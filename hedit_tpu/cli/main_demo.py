@@ -26,9 +26,12 @@ def main(argv=None):
     pipe = build_pipeline(args, args.num_diffusion_steps,
                           steps_offset=0 if is_ddim else 1)
 
-    yaml_path = args.mapping_file or os.path.join(
-        os.path.dirname(args.image or "."), "demo.yaml"
-    )
+    # YAML location: --mapping_file wins; otherwise <data_path>/demo.yaml
+    # (reference: ``main_demo.py:98`` ``dataset_from_yaml(data_path +
+    # "/demo.yaml")``), with a dirname(--image) fallback for ad-hoc use.
+    yaml_path = args.mapping_file or os.path.join(args.data_path, "demo.yaml")
+    if not os.path.exists(yaml_path) and args.image:
+        yaml_path = os.path.join(os.path.dirname(args.image), "demo.yaml")
     items = dataset_from_yaml(yaml_path)
     out_dir = os.path.join(args.output_path, result_dir_name(args.mode + "_demo", args))
     os.makedirs(out_dir, exist_ok=True)
@@ -40,15 +43,26 @@ def main(argv=None):
         blended = item.get("blended_word", "")
         if not blended and blend is not None:
             blended = f"{blend[0][0]} {blend[1][0]}"
+        # The reference CONCATENATES ``data_path + item['image']``
+        # (``main_demo.py:131``; demo.yaml stores ``image: /lizard.jpg`` with
+        # a leading slash, so os.path.join would wrongly treat it as
+        # absolute).  Reproduce the concat; an existing absolute path is
+        # honoured as-is for ad-hoc YAMLs.
+        image = item["image"]
+        if not (os.path.isabs(image) and os.path.exists(image)):
+            image = args.data_path + image
         sample = {
-            "image_path": item["image"],
+            "image_path": image,
             "original_prompt": src,
             "editing_prompt": tar,
             "blended_word": blended,
             "editing_type_id": "0",
         }
-        img = run_sample(args, pipe, f"demo_{i}", sample)
         out = os.path.join(out_dir, f"demo_{i}.png")
+        from hedit_tpu.cli.common import resume_skip
+        if resume_skip(args, out, f"demo_{i}"):
+            continue
+        img = run_sample(args, pipe, f"demo_{i}", sample)
         img.save(out)
         print(f"[demo_{i}] saved {out}")
     return 0

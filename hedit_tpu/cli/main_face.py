@@ -25,6 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--mode", type=str, default="h_edit_R", choices=["h_edit_R", "ef"])
     p.add_argument("--data_file", type=str, default=None,
                    help="JSON [{idx, ref, source}] (assets/demo/demo.json layout)")
+    p.add_argument("--image_path", type=str, default=None,
+                   help="base dir joined onto the JSON's ref/source entries "
+                        "(reference main_edit.py:42,148; defaults to the "
+                        "--data_file directory)")
     p.add_argument("--ref", type=str, default=None)
     p.add_argument("--source", type=str, default=None)
     p.add_argument("--output_path", type=str, default="results")
@@ -39,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--arcface_ckpt", type=str, default=os.environ.get("HEDIT_ARCFACE_CKPT"))
     p.add_argument("--lpips_ckpt", type=str, default=os.environ.get("HEDIT_LPIPS_CKPT"))
     p.add_argument("--parser_ckpt", type=str, default=os.environ.get("HEDIT_PARSER_CKPT"))
+    p.add_argument("--resume", action="store_true",
+                   help="skip a pair when its output exists (SURVEY.md 5.3)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--step_chunk", type=int, default=10)
@@ -79,14 +85,26 @@ def main(argv=None):
 
     pairs = []
     if args.data_file:
+        # the reference joins a base dir onto the JSON's bare filenames
+        # (``main_edit.py:148-156`` ``os.path.join(image_path, source_path)``)
+        base = args.image_path or os.path.dirname(args.data_file)
         for item in dataset_from_json(args.data_file):
-            pairs.append((item["ref"], item["source"]))
+            pairs.append((os.path.join(base, item["ref"]),
+                          os.path.join(base, item["source"])))
     else:
         assert args.ref and args.source, "need --ref and --source (or --data_file)"
         pairs.append((args.ref, args.source))
 
     os.makedirs(args.output_path, exist_ok=True)
     for ref_path, src_path in pairs:
+        out_key = (
+            f"{os.path.basename(ref_path).split('.')[0]}_"
+            f"{os.path.basename(src_path).split('.')[0]}"
+        )
+        out = os.path.join(args.output_path, f"item_{out_key}.png")
+        from hedit_tpu.cli.common import resume_skip
+        if resume_skip(args, out, out_key):
+            continue
         ref_img = jnp.asarray(load_image(ref_path, size=res))
         src_img = jnp.asarray(load_image(src_path, size=res))
 

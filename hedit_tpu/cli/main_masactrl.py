@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts
+from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts, add_resume_arg, resume_skip
 
 MODES = ["h_edit_D_masactrl", "h_edit_R_masactrl", "pnp_inv_masactrl", "ef_masactrl"]
 
@@ -41,6 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--step", type=int, default=4, help="MasaCtrl start step")
     p.add_argument("--layer", type=int, default=10, help="MasaCtrl start layer")
     p.add_argument("--step_chunk", type=int, default=10)
+    add_resume_arg(p)
     add_common_model_args(p)
     return p.parse_args(argv)
 
@@ -80,6 +81,10 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     for key, item in samples:
+        out = os.path.join(out_dir,
+                           os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png")
+        if resume_skip(args, out, key):
+            continue
         tar_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
         src_prompt = ""  # MasaCtrl null-source convention (:180)
         img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts
+from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts, add_resume_arg, resume_skip
 
 MODES = ["h_edit_R_pnp", "h_edit_D_pnp", "ef_pnp", "pnp_inv_w_pnp", "nt_pnp",
          "np_pnp", "nmg_pnp"]
@@ -43,6 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--pnp_f_t", type=float, default=0.45)
     p.add_argument("--pnp_attn_t", type=float, default=0.35)
     p.add_argument("--step_chunk", type=int, default=10)
+    add_resume_arg(p)
     add_common_model_args(p)
     return p.parse_args(argv)
 
@@ -93,6 +94,10 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     for key, item in samples:
+        out = os.path.join(out_dir,
+                           os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png")
+        if resume_skip(args, out, key):
+            continue
         src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
         tar_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
         img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size

@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts
+from hedit_tpu.cli.common import (
+    add_common_model_args, add_resume_arg, build_pipeline, encode_prompts,
+    resume_skip,
+)
 
 
 def parse_args(argv=None):
@@ -26,6 +29,10 @@ def parse_args(argv=None):
                    choices=["h_edit_R_p2p", "ef_p2p"])
     p.add_argument("--data_file", type=str, default=None,
                    help="JSON with PieBench-like items + 'style' image path")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="base dir joined onto the JSON's image_path/style "
+                        "entries (reference main_edit.py:41,110,119; defaults "
+                        "to the --data_file directory)")
     p.add_argument("--image", type=str, default=None)
     p.add_argument("--source_prompt", type=str, default=None)
     p.add_argument("--target_prompt", type=str, default=None)
@@ -46,6 +53,7 @@ def parse_args(argv=None):
     p.add_argument("--sa", type=float, default=0.35)
     p.add_argument("--clip_ckpt", type=str, default=os.environ.get("HEDIT_CLIP_CKPT"))
     p.add_argument("--step_chunk", type=int, default=10)
+    add_resume_arg(p)
     add_common_model_args(p)
     args = p.parse_args(argv)
     assert args.eta == 1.0 and args.optimization_steps == 1, (
@@ -94,10 +102,24 @@ def main(argv=None):
     else:
         data = dataset_from_json(args.data_file)
         items = data.values() if isinstance(data, dict) else data
-        samples.extend(items)
+        # the reference concatenates a base dir onto the JSON's relative
+        # paths (``main_edit.py:110,119`` ``args.dataset + item['image_path']``)
+        base = args.dataset if args.dataset is not None else (
+            os.path.dirname(args.data_file) + os.sep)
+        for item in items:
+            item = dict(item)
+            for k in ("image_path", "style"):
+                v = item.get(k)
+                if v and not (os.path.isabs(v) and os.path.exists(v)):
+                    item[k] = base + v
+            samples.append(item)
 
     os.makedirs(args.output_path, exist_ok=True)
     for item in samples:
+        name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
+        out = os.path.join(args.output_path, f"{args.mode}_style_{name}.png")
+        if resume_skip(args, out, name):
+            continue
         src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
         tar_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
         img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size

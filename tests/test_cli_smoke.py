@@ -1,0 +1,160 @@
+"""CLI smoke tests: every driver runs end-to-end in tiny mode over the
+REFERENCE'S OWN demo assets (VERDICT r2 #4 — the round-2 demo driver failed
+on the reference's demo.yaml because the ``data_path + item['image']`` join
+was dropped; these tests pin all three data-contract joins:
+
+* demo:  ``text-guided/main_demo.py:98,131`` — ``data_path + image``
+  (demo.yaml stores ``/lizard.jpg`` with a leading slash, so os.path.join
+  would misread it as absolute),
+* face:  ``face-swapping/main_edit.py:42,148`` — ``os.path.join(image_path,
+  source)`` over bare filenames,
+* style: ``text-guided-n-style/main_edit.py:41,110,119`` —
+  ``dataset + image_path`` / ``dataset + style``.
+"""
+
+import pytest as _pytest_mod
+pytestmark = _pytest_mod.mark.slow  # heavy lane; fast lane = -m "not slow"
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted"
+)
+
+TG_DEMO = os.path.join(REF, "text-guided/assets/demo")
+FACE_DEMO = os.path.join(REF, "face-swapping/assets/demo")
+STYLE_DEMO = os.path.join(REF, "text-guided-n-style/assets/demo")
+
+TINY = ["--tiny", "--platform", "cpu"]
+
+
+def _pngs(root):
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root) for f in fs if f.endswith(".png")
+    )
+
+
+@needs_reference
+def test_p2p_cli_smoke(tmp_path):
+    from hedit_tpu.cli.main_p2p import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--source_prompt", "a green lizard is sitting on a branch",
+        "--target_prompt", "a brown lizard is sitting on a branch",
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) == 1
+
+
+@needs_reference
+def test_demo_cli_smoke_on_reference_yaml(tmp_path):
+    """The exact round-2 failure scenario: the reference's own demo.yaml
+    (image: /lizard.jpg) with --data_path, nothing absolute."""
+    from hedit_tpu.cli.main_demo import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--data_path", TG_DEMO,
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_masactrl_cli_smoke(tmp_path):
+    from hedit_tpu.cli.main_masactrl import main
+
+    rc = main([
+        "--mode", "h_edit_R_masactrl", "--num_diffusion_steps", "4",
+        "--step", "1", "--layer", "0",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--target_prompt", "a brown lizard",
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_plugnplay_cli_smoke(tmp_path):
+    from hedit_tpu.cli.main_plugnplay import main
+
+    rc = main([
+        "--mode", "h_edit_R_pnp", "--num_diffusion_steps", "4",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--source_prompt", "a green lizard",
+        "--target_prompt", "a brown lizard",
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_face_cli_smoke_on_reference_json(tmp_path):
+    """--data_file with the reference's demo.json (bare filenames): the
+    --image_path/base-dir join must resolve 1368.jpg / 7522.jpg."""
+    from hedit_tpu.cli.main_face import main
+
+    rc = main([
+        "--mode", "h_edit_R", "--num_diffusion_steps", "4",
+        "--optimization_steps", "1",
+        "--data_file", os.path.join(FACE_DEMO, "demo.json"),
+        "--output_path", str(tmp_path),
+        "--tiny", "--platform", "cpu",
+    ])
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_style_cli_smoke_on_reference_json(tmp_path):
+    """--data_file with the reference's demo.json: image_path AND style are
+    dataset-relative ('000000000022.jpg', 'styles/colorful.jpg')."""
+    from hedit_tpu.cli.main_style import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--num_diffusion_steps", "4",
+        "--data_file", os.path.join(STYLE_DEMO, "demo.json"),
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+# The 7th driver (hedit-evaluate) is smoke-covered end-to-end by
+# tests/test_eval.py::test_evaluation_cli_end_to_end (mapping iteration,
+# RLE mask, right-square crop, all 9 metrics, CSV).
+
+
+def test_resume_skips_existing_outputs(tmp_path):
+    """--resume (SURVEY.md §5.3): a sample whose output PNG already exists is
+    skipped; without the flag it is recomputed/overwritten (reference
+    behavior)."""
+    from PIL import Image
+
+    from hedit_tpu.cli.main_p2p import main
+
+    rs = np.random.RandomState(0)
+    img = tmp_path / "in.png"
+    Image.fromarray(rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(img)
+    out_root = tmp_path / "out"
+    argv = [
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--image", str(img),
+        "--source_prompt", "a cat", "--target_prompt", "a dog",
+        "--output_path", str(out_root),
+    ] + TINY
+    assert main(argv) == 0
+    pngs = _pngs(out_root)
+    assert len(pngs) == 1
+    mtime = os.path.getmtime(pngs[0])
+
+    assert main(argv + ["--resume"]) == 0
+    assert os.path.getmtime(pngs[0]) == mtime  # untouched: skipped
+
+    assert main(argv) == 0  # default recomputes
+    assert os.path.getmtime(pngs[0]) > mtime
