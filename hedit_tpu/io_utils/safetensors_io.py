@@ -48,3 +48,50 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
             arr = np.frombuffer(raw, dtype=_DTYPES[dt])
         out[name] = arr.reshape(shape)
     return out
+
+
+_DTYPE_NAMES = {
+    np.dtype(np.float64): "F64",
+    np.dtype(np.float32): "F32",
+    np.dtype(np.float16): "F16",
+    np.dtype(np.int64): "I64",
+    np.dtype(np.int32): "I32",
+    np.dtype(np.int16): "I16",
+    np.dtype(np.int8): "I8",
+    np.dtype(np.uint8): "U8",
+    np.dtype(np.bool_): "BOOL",
+}
+
+
+def save_safetensors(path: str, tensors: Dict[str, np.ndarray],
+                     bf16_keys=()) -> None:
+    """Write the safetensors container (header-length + JSON header + flat
+    buffer).  ``bf16_keys``: tensor names stored as BF16 (truncated from f32
+    by dropping the low mantissa bits) — numpy has no bf16, so the round-trip
+    through ``load_safetensors`` widens them back to f32.  Used to serialize
+    converted/test checkpoints and to exercise the BF16 load path."""
+    header = {}
+    chunks = []
+    offset = 0
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if name in bf16_keys:
+            u32 = arr.astype(np.float32).view(np.uint32)
+            raw = (u32 >> 16).astype(np.uint16).tobytes()
+            dt = "BF16"
+        else:
+            raw = arr.tobytes()
+            dt = _DTYPE_NAMES[arr.dtype]
+        header[name] = {
+            "dtype": dt,
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(raw)],
+        }
+        chunks.append(raw)
+        offset += len(raw)
+    hdr = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        for c in chunks:
+            f.write(c)
