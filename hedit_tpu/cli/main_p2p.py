@@ -22,9 +22,11 @@ import numpy as np
 
 from hedit_tpu.cli.common import (
     add_common_model_args,
+    add_resume_arg,
     build_pipeline,
     encode_prompts,
     result_dir_name,
+    resume_skip,
 )
 
 # Hardcoded PieBench keys for which the Replace controller may be used
@@ -74,7 +76,9 @@ def parse_args(argv=None):
                         "(accepts this framework's or torch-side NCHW captures)")
     p.add_argument("--data_parallel", type=int, default=0, metavar="B",
                    help="batch B samples per jit call, sharded over the mesh "
-                        "'data' axis (h_edit_R mode; SURVEY.md §5.8 sweep)")
+                        "'data' axis (h_edit_R + the P2P modes incl. the "
+                        "flagship h_edit_R_p2p --implicit; SURVEY.md §5.8)")
+    add_resume_arg(p)
     add_common_model_args(p)
     args = p.parse_args(argv)
     # eta asserts (reference :74-77)
@@ -118,6 +122,55 @@ def iter_samples(args):
                 args.data_path, "annotation_images", item["image_path"]
             )
         yield key, item
+
+
+def build_sample_controls(args, pipe, key, item, N, cond_start=1):
+    """Per-sample P2P controller + LocalBlend (reference heuristics:
+    ``main_p2p.py:179-211``).  Returns (control | None, local_blend | None)."""
+    from hedit_tpu.control.p2p import build_p2p_control, init_local_blend
+
+    is_ddim = args.eta == 0
+    src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
+    tar_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
+    blended = item.get("blended_word", "")
+    blended = blended.split(" ") if blended else []
+
+    needs_p2p = args.mode.endswith("p2p") or args.mode.startswith("pnp_inv")
+    control = local_blend = None
+    if needs_p2p and not args.tiny and pipe.tokenizer is not None:
+        prompts = [src_prompt, tar_prompt]
+        len_eq = len(src_prompt.split(" ")) == len(tar_prompt.split(" "))
+        keys = DDIM_REPLACE_KEYS if is_ddim else DDPM_REPLACE_KEYS
+        is_replace = (
+            len_eq and key in keys
+            and args.mode in ("h_edit_D_p2p", "h_edit_R_p2p")
+        )
+        if args.mode in ("h_edit_R_p2p", "h_edit_D_p2p") and args.optimization_steps > 1:
+            eq_val = 1.25
+        else:
+            eq_val = 2.0
+        eq_params = (
+            {"words": (blended[1],), "values": (eq_val,)} if len(blended) >= 2 else None
+        )
+        sample = pipe.unet.cfg.sample_size
+        control = build_p2p_control(
+            num_steps=N, cross_replace_steps=args.xa, self_replace_steps=args.sa,
+            prompts=prompts, tokenizer=pipe.tokenizer, is_replace=is_replace,
+            eq_params=eq_params, blend_px=(sample // 4) ** 2,
+            cond_start=cond_start,
+        )
+        if len(blended) >= 2:
+            local_blend = init_local_blend(
+                prompts, ((blended[0],), (blended[1],)), pipe.tokenizer,
+                num_steps=N, heads=pipe.unet.cfg.num_heads, res=sample // 4,
+            )
+    elif needs_p2p:
+        # tiny/no-tokenizer path: neutral controller (alphas zero)
+        from hedit_tpu.parallel.sweep import neutral_control
+
+        sample = pipe.unet.cfg.sample_size
+        control = neutral_control(N, (sample // 4) ** 2, cond_start=cond_start)
+    return control, local_blend
 
 
 def run_sample(args, pipe, key, item):
@@ -218,48 +271,7 @@ def run_sample(args, pipe, key, item):
         weight_reconstruction=args.weight_reconstruction,
     )
 
-    needs_p2p = args.mode.endswith("p2p") or args.mode.startswith("pnp_inv")
-    control = local_blend = None
-    if needs_p2p and not args.tiny and pipe.tokenizer is not None:
-        prompts = [src_prompt, tar_prompt]
-        len_eq = len(src_prompt.split(" ")) == len(tar_prompt.split(" "))
-        keys = DDIM_REPLACE_KEYS if is_ddim else DDPM_REPLACE_KEYS
-        is_replace = (
-            len_eq and key in keys
-            and args.mode in ("h_edit_D_p2p", "h_edit_R_p2p")
-        )
-        if args.mode in ("h_edit_R_p2p", "h_edit_D_p2p") and args.optimization_steps > 1:
-            eq_val = 1.25
-        else:
-            eq_val = 2.0
-        eq_params = (
-            {"words": (blended[1],), "values": (eq_val,)} if len(blended) >= 2 else None
-        )
-        sample = pipe.unet.cfg.sample_size
-        control = build_p2p_control(
-            num_steps=N, cross_replace_steps=args.xa, self_replace_steps=args.sa,
-            prompts=prompts, tokenizer=pipe.tokenizer, is_replace=is_replace,
-            eq_params=eq_params, blend_px=(sample // 4) ** 2,
-        )
-        if len(blended) >= 2:
-            local_blend = init_local_blend(
-                prompts, ((blended[0],), (blended[1],)), pipe.tokenizer,
-                num_steps=N, heads=pipe.unet.cfg.num_heads, res=sample // 4,
-            )
-    elif needs_p2p:
-        # tiny/no-tokenizer path: neutral controller (alphas zero)
-        from hedit_tpu.control.p2p import P2PControl
-
-        sample = pipe.unet.cfg.sample_size
-        control = P2PControl(
-            step=jnp.zeros((), jnp.int32),
-            cross_alpha=jnp.zeros((N + 1, 77)),
-            refine_mapper=jnp.arange(77),
-            refine_alphas=jnp.ones(77),
-            replace_mapper=jnp.eye(77),
-            equalizer=jnp.ones(77),
-            blend_px=(sample // 4) ** 2,
-        )
+    control, local_blend = build_sample_controls(args, pipe, key, item, N)
 
     from hedit_tpu.cli.common import jit_with_params
 
@@ -337,15 +349,24 @@ def main(argv=None):
 
     n = 0
     for key, item in iter_samples(args):
-        img = run_sample(args, pipe, key, item)
         out_path = os.path.join(
             out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
         )
+        if resume_skip(args, out_path, key):
+            continue
+        img = run_sample(args, pipe, key, item)
         img.save(out_path)
         print(f"[{key}] saved {out_path}")
         n += 1
     print(f"done: {n} samples -> {out_dir}")
     return 0
+
+
+
+def _sample_out_path(out_dir, item):
+    return os.path.join(
+        out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
+    )
 
 
 def run_data_parallel(args, pipe, out_dir):
@@ -360,7 +381,11 @@ def run_data_parallel(args, pipe, out_dir):
     from hedit_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from hedit_tpu.parallel.sweep import edit_batch_fn
 
-    assert args.mode == "h_edit_R", "--data_parallel currently supports h_edit_R"
+    if args.mode in DP_P2P_MODES:
+        return run_data_parallel_p2p(args, pipe, out_dir)
+    assert args.mode == "h_edit_R", (
+        f"--data_parallel supports h_edit_R and {DP_P2P_MODES}"
+    )
     B = args.data_parallel
     mesh = make_mesh(model_parallel=1)
     N = args.num_diffusion_steps - args.skip
@@ -380,6 +405,8 @@ def run_data_parallel(args, pipe, out_dir):
     batch, total = [], 0
     with jax.set_mesh(mesh):
         for key, item in iter_samples(args):
+            if resume_skip(args, _sample_out_path(out_dir, item), key):
+                continue
             batch.append((key, item))
             if len(batch) < B:
                 continue
@@ -393,6 +420,132 @@ def run_data_parallel(args, pipe, out_dir):
                                      out_dir, img_size)
     print(f"done (data-parallel): {total} samples -> {out_dir}")
     return 0
+
+
+DP_P2P_MODES = ("h_edit_R_p2p", "h_edit_D_p2p", "ef_p2p", "pnp_inv_p2p")
+
+
+def run_data_parallel_p2p(args, pipe, out_dir):
+    """Sharded P2P sweep — the flagship production path (VERDICT r2 #2).
+
+    The flagship config (implicit, cfg_src==1, eta>0) runs the hostloop
+    batched runner (``parallel/sweep.py:make_flagship_runner`` — the form
+    that compiles through the axon remote service and measured fastest on
+    chip); other configs take the fused-scan batched editor
+    (``edit_batch_p2p_fn`` — the pod path).  Samples are bucketed by the
+    controller's static signature (replace vs refine, reweight) so each
+    bucket's stacked control pytree has one treedef; each bucket flushes at
+    ``B`` samples."""
+    import jax
+
+    from hedit_tpu.edit.h_edit import HEditConfig
+    from hedit_tpu.parallel.mesh import make_mesh, replicate
+    from hedit_tpu.parallel.sweep import (
+        edit_batch_p2p_fn, make_flagship_runner, neutral_blend,
+    )
+
+    B = args.data_parallel
+    mesh = make_mesh(model_parallel=1)
+    N = args.num_diffusion_steps - args.skip
+    is_ddim = args.eta == 0
+    eta = 1.0 if is_ddim else args.eta
+    cfg = HEditConfig(
+        cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
+        cfg_tar=args.cfg_tar, eta=eta, is_ddim_inversion=is_ddim,
+        implicit=args.implicit,
+        optimization_steps=args.optimization_steps,
+        weight_reconstruction=args.weight_reconstruction,
+    )
+    flagship = (
+        args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
+        and args.implicit and args.cfg_src == 1.0 and eta > 0
+        and args.optimization_steps == 1
+    )
+    if flagship:
+        fn = make_flagship_runner(pipe.unet, pipe.schedule, cfg,
+                                  after_skip_steps=N)
+    else:
+        fn = jax.jit(edit_batch_p2p_fn(
+            pipe, cfg, mode=args.mode, after_skip_steps=N,
+            step_chunk=args.step_chunk,
+        ))
+    params = replicate(pipe.unet_params, mesh)
+    heads = pipe.unet.cfg.num_heads
+    res = pipe.unet.cfg.sample_size // 4
+
+    img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+    cond_start = 2 if flagship else 1
+    buckets, total = {}, 0
+    with jax.set_mesh(mesh):
+        for key, item in iter_samples(args):
+            if resume_skip(args, _sample_out_path(out_dir, item), key):
+                continue
+            ctrl, lb = build_sample_controls(args, pipe, key, item, N,
+                                             cond_start=cond_start)
+            if lb is None:
+                lb = neutral_blend(N, heads, res)
+            sig = (ctrl.mode, ctrl.use_reweight)
+            buckets.setdefault(sig, []).append((key, item, ctrl, lb))
+            if len(buckets[sig]) == B:
+                total += _flush_dp_p2p_batch(
+                    args, pipe, fn, params, mesh, buckets.pop(sig), out_dir,
+                    img_size, flagship)
+        for sig, batch in buckets.items():
+            while len(batch) < B:  # pad the tail batch
+                batch.append(batch[-1])
+            total += _flush_dp_p2p_batch(
+                args, pipe, fn, params, mesh, batch, out_dir, img_size,
+                flagship)
+    print(f"done (data-parallel p2p): {total} samples -> {out_dir}")
+    return 0
+
+
+def _flush_dp_p2p_batch(args, pipe, fn, params, mesh, batch, out_dir,
+                        img_size, flagship):
+    import jax
+
+    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.parallel.mesh import shard_batch
+    from hedit_tpu.parallel.sweep import stack_pytrees
+
+    x0s, us, ss, ts = [], [], [], []
+    for key, item, _, _ in batch:
+        img = jnp.asarray(load_image(item["image_path"], size=img_size))
+        x0s.append(pipe.vae_encode(img)[0])
+        src = item["original_prompt"].replace("[", "").replace("]", "")
+        tar = item["editing_prompt"].replace("[", "").replace("]", "")
+        e = encode_prompts(pipe, ["", src, tar], args.tiny)
+        us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+    B = len(batch)
+    controls = stack_pytrees([c for _, _, c, _ in batch])
+    blends = stack_pytrees([b for _, _, _, b in batch])
+    shard = lambda x: shard_batch(x, mesh)  # noqa: E731
+    controls = jax.tree_util.tree_map(shard, controls)
+    blends = jax.tree_util.tree_map(shard, blends)
+    if flagship:
+        ctx4s = shard(jnp.stack([
+            jnp.stack([u, s, s, t]) for u, s, t in zip(us, ss, ts)
+        ]))
+        out = fn(params, shard(jnp.stack(x0s)[:, None]), ctx4s, controls,
+                 blends, jax.random.PRNGKey(0))
+        out = out[:, 0]
+    else:
+        rngs = jax.random.split(jax.random.PRNGKey(0), B)
+        out = fn(params, shard(jnp.stack(x0s)), shard(jnp.stack(us)),
+                 shard(jnp.stack(ss)), shard(jnp.stack(ts)), shard(rngs),
+                 controls, blends)
+    seen = set()
+    for (key, item, _, _), latent in zip(batch, out):
+        if key in seen:
+            continue  # tail padding
+        seen.add(key)
+        img = to_pil(np.asarray(pipe.vae_decode(latent[None])))
+        out_path = os.path.join(
+            out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
+        )
+        img.save(out_path)
+        print(f"[{key}] saved {out_path}")
+    return len(seen)
 
 
 def _flush_dp_batch(args, pipe, fn, params, mesh, batch, out_dir, img_size):

@@ -268,11 +268,17 @@ def build_p2p_control(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LocalBlendState:
-    """Scan-carried LocalBlend inputs (``ptp_classes.py:17-72``)."""
+    """Scan-carried LocalBlend inputs (``ptp_classes.py:17-72``).
+
+    ``start_blend`` is a DYNAMIC leaf (scalar int): the blend-active test
+    ``(step + 1) > start_blend`` stays inside the traced graph, so per-sample
+    blend enablement can be batched (a no-blend sample carries
+    ``start_blend > num_steps``) and the data-parallel sweep can vmap one
+    pytree over mixed blend/no-blend batches."""
 
     alpha_layers: jnp.ndarray   # [2, 77] word-mask per prompt row
     store_sum: jnp.ndarray      # [5, 2, H, px, 77] accumulated post-edit maps
-    start_blend: int = _static(default=0)   # int(0.2 * num_steps)
+    start_blend: int = 0        # int(0.2 * num_steps); traced scalar
     threshold: float = _static(default=0.3)
     res: int = _static(default=16)          # blend_res = sample // 4
 

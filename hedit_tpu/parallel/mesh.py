@@ -62,20 +62,24 @@ def _path_str(keypath) -> str:
     )
 
 
-def shard_unet_params(params, mesh: Mesh):
-    """Apply the tensor-parallel rules over the 'model' axis.
+def resolve_spec(path: str, shape: Tuple[int, ...], axis_size: int) -> P:
+    """The tp placement decision for one leaf: its rule spec, or replication
+    when the sharded dim is not divisible by the axis size (e.g. 4-channel
+    conv_out).  Pure function of (path, shape) so shardings can be censused
+    at any axis size via ``jax.eval_shape`` without materializing weights."""
+    spec = param_spec(path)
+    for dim, name in enumerate(spec):
+        if name == "model" and shape[dim] % axis_size != 0:
+            return P()
+    return spec
 
-    Falls back to replication for any leaf whose sharded dim is not divisible
-    by the axis size (e.g. 4-channel conv_out).
-    """
+
+def shard_unet_params(params, mesh: Mesh):
+    """Apply the tensor-parallel rules over the 'model' axis."""
     axis = mesh.shape["model"]
 
     def place(keypath, leaf):
-        spec = param_spec(_path_str(keypath))
-        for dim, name in enumerate(spec):
-            if name == "model" and leaf.shape[dim] % axis != 0:
-                spec = P()
-                break
+        spec = resolve_spec(_path_str(keypath), leaf.shape, axis)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -9,14 +9,21 @@ dataset (static shapes).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
+from hedit_tpu.control.p2p import (
+    LocalBlendState,
+    P2PControl,
+    accumulate_store,
+    apply_local_blend,
+)
 from hedit_tpu.edit.h_edit import HEditConfig, h_edit_r
-from hedit_tpu.invert.ddpm import invert_ddpm
+from hedit_tpu.invert.ddpm import invert_ddpm, sample_xts_from_x0
 
 
 def edit_batch_fn(
@@ -54,3 +61,249 @@ def edit_batch_fn(
         return jax.vmap(partial(one, params))(x0s, unconds, srcs, tars, rngs)
 
     return batched
+
+
+# --------------------------------------------------------------- P2P batch #
+# The flagship production job is 700 PieBench images through
+# ``h_edit_R_p2p --implicit`` (reference serial loop:
+# ``text-guided/main_p2p.py:110-280``).  Per-sample P2P state (time-word
+# alphas, mappers, equalizer, LocalBlend word masks) is a pytree of dynamic
+# leaves, so a batch is simply those leaves stacked on a leading axis and
+# vmapped; the batch axis shards over the mesh 'data' axis.
+
+
+def stack_pytrees(items: Sequence):
+    """Stack a list of identical-structure pytrees leaf-wise (leading axis).
+
+    Static fields (part of the treedef for the registered control
+    dataclasses) must match across the batch — callers group samples by
+    static signature (controller mode / reweight) before stacking."""
+    try:
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+    except ValueError as e:
+        raise ValueError(
+            "stack_pytrees: mismatched tree structures — static fields "
+            "(controller mode / use_reweight / self_replace_until / "
+            "cond_start / blend_px) must be identical across a batch; "
+            f"group samples by static signature first ({e})"
+        ) from e
+
+
+def neutral_control(num_steps: int, blend_px: int,
+                    cond_start: int = 1) -> P2PControl:
+    """A P2P control whose every edit is the identity (alphas zero,
+    equalizer ones) — used to batch controller-less samples alongside
+    controlled ones."""
+    MAX_LEN = 77
+    return P2PControl(
+        step=jnp.zeros((), jnp.int32),
+        cross_alpha=jnp.zeros((num_steps + 1, MAX_LEN)),
+        refine_mapper=jnp.arange(MAX_LEN),
+        refine_alphas=jnp.ones(MAX_LEN),
+        replace_mapper=jnp.eye(MAX_LEN),
+        equalizer=jnp.ones(MAX_LEN),
+        cond_start=cond_start,
+        blend_px=blend_px,
+    )
+
+
+def neutral_blend(num_steps: int, heads: int, res: int) -> LocalBlendState:
+    """A LocalBlend that never activates (start_blend > num_steps): lets
+    no-blend samples ride in the same batch as blended ones."""
+    MAX_LEN = 77
+    return LocalBlendState(
+        alpha_layers=jnp.zeros((2, MAX_LEN), jnp.float32),
+        store_sum=jnp.zeros((5, 2, heads, res * res, MAX_LEN), jnp.float32),
+        start_blend=num_steps + 2,
+        res=res,
+    )
+
+
+def edit_batch_p2p_fn(
+    pipe,
+    cfg: HEditConfig,
+    *,
+    mode: str = "h_edit_R_p2p",
+    after_skip_steps: int,
+    step_chunk: int = 10,
+):
+    """Scan-form batched P2P editor (the pod / fused-compiler path).
+
+    Returns a jittable fn over batched samples:
+
+        (params, x0 [B,H,W,C], uncond [B,77,D], src [B,77,D], tar [B,77,D],
+         rngs [B,2], controls (P2PControl, leaves stacked [B,...]),
+         blends (LocalBlendState, leaves stacked [B,...]))
+        -> edited latents [B,H,W,C]
+
+    modes: h_edit_R_p2p / h_edit_D_p2p (implicit or explicit by cfg),
+    ef_p2p / pnp_inv_p2p.  The same algebraic eliminations as the
+    single-sample drivers apply (indexed source branch; derive_zs
+    inversion-free stepping when cfg permits).
+    """
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+    from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
+    from hedit_tpu.invert.ddim import invert_ddim
+
+    sched = pipe.schedule
+    N = after_skip_steps
+    is_ddim = cfg.is_ddim_inversion
+    if mode in ("h_edit_R_p2p", "h_edit_D_p2p"):
+        derive = cfg.implicit and cfg.cfg_src == 1.0 and cfg.eta > 0
+    elif mode in ("ef_p2p", "pnp_inv_p2p"):
+        derive = (cfg.cfg_src == 1.0 or is_ddim) and (cfg.eta > 0 or is_ddim)
+    else:
+        raise ValueError(f"unsupported p2p batch mode: {mode}")
+
+    def one(params, x0, uncond, src, tar, rng, ctrl, lb):
+        def eps_plain(x, t, c):
+            return pipe.unet.apply(params, x, t, c)
+
+        def eps_ctrl(x, t, c, c_obj):
+            if getattr(c_obj, "stores_attn", False):
+                out, aux = pipe.unet.apply(params, x, t, c, c_obj, True,
+                                           mutable=["attn_store"])
+                return out, aux["attn_store"]
+            return pipe.unet.apply(params, x, t, c, c_obj)
+
+        if is_ddim:
+            inv = invert_ddim(
+                eps_plain, sched, x0[None], uncond_ctx=uncond[None],
+                src_ctx=src[None], cfg_scale=cfg.cfg_src,
+                step_chunk=step_chunk, skip_zs=derive,
+            )
+        else:
+            inv = invert_ddpm(
+                eps_plain, sched, x0[None], uncond_ctx=uncond[None],
+                src_ctx=src[None], cfg_scale_src=cfg.cfg_src, eta=cfg.eta,
+                rng=rng, step_chunk=step_chunk, skip_zs=derive,
+            )
+        xT = inv.xts[N][None] if inv.xts.ndim == 4 else inv.xts[N]
+        xts = inv.xts[: N + 1]
+        zs = None if derive else inv.zs
+        if mode in ("h_edit_R_p2p", "h_edit_D_p2p"):
+            edited, _ = h_edit_p2p(
+                eps_ctrl, sched, xT, zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg=cfg,
+                after_skip_steps=N, control=ctrl, local_blend=lb,
+                xts=xts, derive_zs=derive,
+            )
+        else:
+            edited, _ = ef_or_pnp_inv_p2p(
+                eps_ctrl, sched, xT, zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg_src=cfg.cfg_src,
+                cfg_tar=cfg.cfg_tar, eta=cfg.eta,
+                is_ddim_inversion=is_ddim, after_skip_steps=N,
+                control=ctrl, local_blend=lb, xts=xts, derive_zs=derive,
+            )
+        return edited[0]
+
+    def batched(params, x0s, unconds, srcs, tars, rngs, controls, blends):
+        return jax.vmap(partial(one, params))(
+            x0s, unconds, srcs, tars, rngs, controls, blends
+        )
+
+    return batched
+
+
+def make_flagship_runner(
+    unet,
+    sched,
+    cfg: HEditConfig,
+    *,
+    after_skip_steps: int,
+):
+    """Hostloop-form batched flagship executor — the production path for the
+    axon remote compiler (which rejects scan-wrapped UNet graphs) AND the
+    measured-fastest mode on the single chip (bench round 2: 1.964 s/image
+    at batch 4).
+
+    Implements ``h_edit_R_p2p --implicit`` with cfg_src == 1, the indexed
+    source branch, and derive_zs inversion-free stepping: per image per step,
+    ONE single-row base call + ONE batch-4 controlled call; the controlled
+    call's untouched controller-source row doubles as the next step's
+    inversion eps (see bench.py provenance / PERF_NOTES round 1-2).
+
+    Returns ``run(params, x0s [B,1,H,W,C], ctx4s [B,4,77,D], controls,
+    blends, rng) -> edited [B,1,H,W,C]`` where ctx4s rows are
+    [uncond, src, src, tar] per sample, ``controls``/``blends`` are stacked
+    pytrees (cond_start is forced to 2 internally).  The two jitted
+    executables are created once per runner; pass mesh-sharded inputs to
+    shard the batch over 'data'.
+    """
+    assert cfg.implicit and cfg.cfg_src == 1.0 and cfg.eta > 0, (
+        "flagship runner implements the implicit cfg_src==1 eta>0 config; "
+        "use edit_batch_p2p_fn for general configs"
+    )
+    S = after_skip_steps
+    from hedit_tpu.edit.h_edit_p2p import flatten_attn_store
+
+    def base_eps(params, x_edit, t, src_ctx):
+        # cfg_src == 1.0: u + 1.0*(c-u) == c — single-row base call
+        return unet.apply(params, x_edit, jnp.broadcast_to(t, (1,)), src_ctx)
+
+    def step_one(params, x_edit, eps_src, eps_orig, x_orig_t, x_prev_orig,
+                 t, tt, i, ctrl, lb, ctx4c):
+        mu = sched.reverse_step(eps_orig, t, x_orig_t, eta=cfg.eta,
+                                variance_noise=jnp.zeros_like(x_orig_t))
+        z = (x_prev_orig - mu) / jnp.sqrt(sched.variance(t))
+        x_opt = sched.reverse_step(eps_src, t, x_edit, eta=cfg.eta,
+                                   variance_noise=z)
+        ctrl = dataclasses.replace(ctrl, step=i, cond_start=2)
+        eps4c, aux = unet.apply(
+            params,
+            jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),
+            jnp.broadcast_to(tt, (4,)), ctx4c, ctrl, True,
+            mutable=["attn_store"],
+        )
+        lb = accumulate_store(lb, flatten_attn_store(aux["attn_store"]))
+        coeff = sched.h_edit_coeff(t, tt, cfg.eta)
+        u_tar, cond_src, c_tar = eps4c[0:1], eps4c[1:2], eps4c[3:4]
+        eps_se = u_tar + cfg.cfg_src_edit * (cond_src - u_tar)
+        eps_ta = u_tar + cfg.cfg_tar * (c_tar - u_tar)
+        x_opt = x_opt + coeff * (eps_ta - eps_se)
+        pair_out = apply_local_blend(
+            lb, jnp.concatenate([x_prev_orig, x_opt], axis=0), i)
+        # row 2 (controller source, src @ x_prev_orig at tt) IS the next
+        # step's inversion eps — P2P's edit_probs writes only cond_start+1
+        return pair_out[1:2], eps4c[2:3], lb
+
+    base_v = jax.jit(jax.vmap(base_eps, in_axes=(None, 0, None, 0)))
+    step_v = jax.jit(jax.vmap(
+        step_one,
+        in_axes=(None, 0, 0, 0, 0, 0, None, None, None, 0, 0, 0),
+    ))
+
+    ts_dev = sched.timesteps
+    tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
+    sample_v = jax.jit(jax.vmap(
+        lambda x0, k: sample_xts_from_x0(sched, x0, k)[0]))
+
+    def run(params, x0s, ctx4s, controls, blends, rng, dump_hlo=None):
+        """x0s: [B, 1, H, W, C] encoded latents.  ``dump_hlo``: optional path
+        — writes the optimized HLO of the per-step executable (profiling
+        cross-reference; see PERF_NOTES)."""
+        B = x0s.shape[0]
+        keys = jax.random.split(rng, B)
+        xts = sample_v(x0s, keys)  # [B, S+1, H, W, C]
+        src_ctx = ctx4s[:, 1:2]
+        x_edit = xts[:, S][:, None]
+        lb = blends
+        eps_orig = None
+        for i in range(S):
+            x_orig_t = xts[:, S - i][:, None]
+            x_prev_orig = xts[:, S - 1 - i][:, None]
+            eps_src = base_v(params, x_edit, ts_dev[i], src_ctx)
+            if eps_orig is None:
+                eps_orig = eps_src  # step 0: x_edit == x_orig == xT
+            step_args = (params, x_edit, eps_src, eps_orig, x_orig_t,
+                         x_prev_orig, ts_dev[i], tts_dev[i],
+                         jnp.array(i, jnp.int32), controls, lb, ctx4s)
+            if dump_hlo and i == 0:
+                with open(dump_hlo, "w") as f:
+                    f.write(step_v.lower(*step_args).compile().as_text())
+            x_edit, eps_orig, lb = step_v(*step_args)
+        return x_edit
+
+    run.base_v, run.step_v, run.sample_v = base_v, step_v, sample_v
+    return run
