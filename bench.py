@@ -13,16 +13,19 @@ Weights are seeded (no pretrained checkpoints in this zero-egress image);
 FLOP/byte traffic, and therefore wall-clock, match the real model exactly.
 Compute dtype bfloat16 (MXU-native), posterior math float32.
 
-Execution structure: two modes (HEDIT_BENCH_MODE).
-* hostloop (default): a host loop over three shared UNet executables
-  (batch-4 plain, batch-1 plain, batch-3 P2P-controlled) plus small math
-  kernels — the mode that works through the axon remote-compile tunnel.
+Execution structure (HEDIT_BENCH_MODE):
+* batch (default): the LIBRARY flagship runner
+  (``parallel/sweep.py:make_flagship_runner``) vmapped over
+  HEDIT_BENCH_BATCH images — two shared executables per step.  Measured
+  1.955 s/image at batch 4 (round 3).
 * scan: the library's fused lax.scan pipeline in ONE jit with params passed
-  as an ARGUMENT.  Closing over concrete params bakes 3.4GB of constants
-  into the HLO (breaks the remote compiler outright); even without
-  constants the fused 50-step graph still fails the axon remote-compile
-  service, so this stays opt-in until a local compiler is available.  On a
-  real pod the scan path is the preferred zero-host-sync route.
+  as an ARGUMENT (closing over concrete params would bake 3.4GB of
+  constants into the HLO and break the remote compiler).  With
+  HEDIT_BENCH_BATCH=n the scan is vmapped over n images.  Measured 2.209
+  s/image at batch 1, 1.970 at batch 4 (PERF_NOTES round 3): the round-2
+  scan-vs-hostloop gap was batch-4 MXU amortization, not scan overhead.
+  On a real pod the scan form remains the zero-host-sync route.
+* hostloop / split / stepjit: earlier structures kept for ablation.
 
 Baseline for ``vs_baseline``: the reference publishes NO wall-clock numbers
 (timing commented out, ``main_p2p.py:149-150,268-272``).  We use an estimated

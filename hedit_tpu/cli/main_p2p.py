@@ -124,9 +124,16 @@ def iter_samples(args):
         yield key, item
 
 
-def build_sample_controls(args, pipe, key, item, N, cond_start=1):
+def build_sample_controls(args, pipe, key, item, N, cond_start=1,
+                          blend_res=None):
     """Per-sample P2P controller + LocalBlend (reference heuristics:
-    ``main_p2p.py:179-211``).  Returns (control | None, local_blend | None)."""
+    ``main_p2p.py:179-211``).  Returns (control | None, local_blend | None).
+
+    ``blend_res``: the LocalBlend/store grid side (latent_size // 4); defaults
+    to the UNet config's nominal ``sample_size // 4``.  Callers that run at a
+    non-nominal image size (the tiny CLI path encodes through the VAE at the
+    VAE's own sample_size) must pass the runtime value or the stacked store
+    shapes won't match the UNet's actual attention maps."""
     from hedit_tpu.control.p2p import build_p2p_control, init_local_blend
 
     is_ddim = args.eta == 0
@@ -152,24 +159,31 @@ def build_sample_controls(args, pipe, key, item, N, cond_start=1):
         eq_params = (
             {"words": (blended[1],), "values": (eq_val,)} if len(blended) >= 2 else None
         )
-        sample = pipe.unet.cfg.sample_size
+        # the control's blend_px filter compares against LayerTag.num_pixels,
+        # which are CONFIG-nominal (models/unet_sd.py:_build_tags computes
+        # them from cfg.sample_size) — so it must stay nominal even when the
+        # runtime latent is smaller.  Only the LocalBlend store buffer takes
+        # the runtime grid (blend_res).
+        nominal = pipe.unet.cfg.sample_size // 4
+        res = blend_res if blend_res is not None else nominal
         control = build_p2p_control(
             num_steps=N, cross_replace_steps=args.xa, self_replace_steps=args.sa,
             prompts=prompts, tokenizer=pipe.tokenizer, is_replace=is_replace,
-            eq_params=eq_params, blend_px=(sample // 4) ** 2,
+            eq_params=eq_params, blend_px=nominal * nominal,
             cond_start=cond_start,
         )
         if len(blended) >= 2:
             local_blend = init_local_blend(
                 prompts, ((blended[0],), (blended[1],)), pipe.tokenizer,
-                num_steps=N, heads=pipe.unet.cfg.num_heads, res=sample // 4,
+                num_steps=N, heads=pipe.unet.cfg.num_heads, res=res,
             )
     elif needs_p2p:
         # tiny/no-tokenizer path: neutral controller (alphas zero)
         from hedit_tpu.parallel.sweep import neutral_control
 
-        sample = pipe.unet.cfg.sample_size
-        control = neutral_control(N, (sample // 4) ** 2, cond_start=cond_start)
+        nominal = pipe.unet.cfg.sample_size // 4
+        control = neutral_control(N, nominal * nominal,
+                                  cond_start=cond_start)
     return control, local_blend
 
 
@@ -369,6 +383,19 @@ def _sample_out_path(out_dir, item):
     )
 
 
+def _dp_mesh(B: int):
+    """A data-axis mesh whose size divides the batch: gcd(B, n_devices)
+    devices (all of them when B is a multiple — the production case; a
+    clean subset otherwise, e.g. --data_parallel 2 on an 8-device host)."""
+    import math
+
+    import jax
+
+    from hedit_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(math.gcd(B, len(jax.devices())), model_parallel=1)
+
+
 def run_data_parallel(args, pipe, out_dir):
     """Sharded PieBench sweep: B samples per jit call over the mesh 'data'
     axis (``hedit_tpu/parallel/sweep.py``; currently the h_edit_R path)."""
@@ -387,7 +414,7 @@ def run_data_parallel(args, pipe, out_dir):
         f"--data_parallel supports h_edit_R and {DP_P2P_MODES}"
     )
     B = args.data_parallel
-    mesh = make_mesh(model_parallel=1)
+    mesh = _dp_mesh(B)
     N = args.num_diffusion_steps - args.skip
     cfg = HEditConfig(
         cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
@@ -439,13 +466,13 @@ def run_data_parallel_p2p(args, pipe, out_dir):
     import jax
 
     from hedit_tpu.edit.h_edit import HEditConfig
-    from hedit_tpu.parallel.mesh import make_mesh, replicate
+    from hedit_tpu.parallel.mesh import replicate
     from hedit_tpu.parallel.sweep import (
         edit_batch_p2p_fn, make_flagship_runner, neutral_blend,
     )
 
     B = args.data_parallel
-    mesh = make_mesh(model_parallel=1)
+    mesh = _dp_mesh(B)
     N = args.num_diffusion_steps - args.skip
     is_ddim = args.eta == 0
     eta = 1.0 if is_ddim else args.eta
@@ -471,9 +498,11 @@ def run_data_parallel_p2p(args, pipe, out_dir):
         ))
     params = replicate(pipe.unet_params, mesh)
     heads = pipe.unet.cfg.num_heads
-    res = pipe.unet.cfg.sample_size // 4
 
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+    # runtime store/blend grid: the VAE downsamples 8x, the store layers sit
+    # two UNet downsamples below the latent (SD: 512 -> 64 -> 16)
+    res = img_size // 8 // 4
     cond_start = 2 if flagship else 1
     buckets, total = {}, 0
     with jax.set_mesh(mesh):
@@ -481,7 +510,8 @@ def run_data_parallel_p2p(args, pipe, out_dir):
             if resume_skip(args, _sample_out_path(out_dir, item), key):
                 continue
             ctrl, lb = build_sample_controls(args, pipe, key, item, N,
-                                             cond_start=cond_start)
+                                             cond_start=cond_start,
+                                             blend_res=res)
             if lb is None:
                 lb = neutral_blend(N, heads, res)
             sig = (ctrl.mode, ctrl.use_reweight)

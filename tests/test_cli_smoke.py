@@ -130,6 +130,43 @@ def test_style_cli_smoke_on_reference_json(tmp_path):
 # RLE mask, right-square crop, all 9 metrics, CSV).
 
 
+@needs_reference
+def test_p2p_cli_data_parallel_flagship(tmp_path):
+    """--data_parallel with the flagship mode: 3 samples at batch 2 must
+    bucket, pad the tail batch, dedupe it, and write 3 PNGs through the
+    library runner (parallel/sweep.py:make_flagship_runner)."""
+    import shutil
+
+    from hedit_tpu.cli.main_p2p import main
+
+    imgs = tmp_path / "imgs"
+    # PieBench layout: images live under <data_path>/annotation_images/
+    (imgs / "annotation_images").mkdir(parents=True)
+    for i in range(3):
+        shutil.copy(os.path.join(TG_DEMO, "lizard.jpg"),
+                    imgs / "annotation_images" / f"im{i}.jpg")
+    mapping = tmp_path / "mapping.json"
+    import json
+
+    json.dump({
+        f"k{i}": {
+            "image_path": f"im{i}.jpg",
+            "original_prompt": "a green lizard",
+            "editing_prompt": "a brown lizard",
+            "blended_word": "",
+            "editing_type_id": "0",
+        } for i in range(3)
+    }, mapping.open("w"))
+    out_root = tmp_path / "out"
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--data_path", str(imgs), "--mapping_file", str(mapping),
+        "--data_parallel", "2",
+        "--output_path", str(out_root),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(out_root)) == 3
+
+
 def test_resume_skips_existing_outputs(tmp_path):
     """--resume (SURVEY.md §5.3): a sample whose output PNG already exists is
     skipped; without the flag it is recomputed/overwritten (reference
