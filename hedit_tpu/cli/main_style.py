@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--sa", type=float, default=0.35)
     p.add_argument("--clip_ckpt", type=str, default=os.environ.get("HEDIT_CLIP_CKPT"))
     p.add_argument("--step_chunk", type=int, default=10)
+    p.add_argument("--exec_form", type=str, default="scan",
+                   choices=["scan", "hostloop"],
+                   help="h_edit_R_p2p execution structure: 'scan' = fused "
+                        "single-jit (pod path); 'hostloop' = per-step "
+                        "executables for remote-compile environments "
+                        "(edit/style.py:make_style_runner)")
     add_resume_arg(p)
     add_common_model_args(p)
     args = p.parse_args(argv)
@@ -136,11 +142,14 @@ def main(argv=None):
         eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
         eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
 
-        inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond,
-                          src_ctx=src_ctx, cfg_scale_src=args.cfg_src,
-                          eta=args.eta, rng=jax.random.PRNGKey(0),
-                          step_chunk=args.step_chunk)
-        xT = inv.xts[N][None]
+        hostloop = (args.mode == "h_edit_R_p2p"
+                    and args.exec_form == "hostloop")
+        if not hostloop:
+            inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond,
+                              src_ctx=src_ctx, cfg_scale_src=args.cfg_src,
+                              eta=args.eta, rng=jax.random.PRNGKey(0),
+                              step_chunk=args.step_chunk)
+            xT = inv.xts[N][None]
 
         cfg = HEditConfig(
             cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
@@ -167,7 +176,27 @@ def main(argv=None):
                 blend_px=(sample // 4) ** 2,
             )
 
-        if args.mode == "h_edit_R_p2p":
+        if hostloop:
+            # remote-compile path: per-step executables, none of which
+            # holds UNet+VAE+CLIP VJPs in one graph (edit/style.py:
+            # make_style_runner; scan-equivalence pinned by
+            # tests/test_style_and_pnp_baselines.py)
+            import dataclasses as _dc
+
+            from hedit_tpu.edit.style import make_style_runner
+
+            runner = make_style_runner(
+                pipe.unet, pipe.vae_decode, vision_apply, ref_g, sched, cfg,
+                after_skip_steps=N,
+                weight_edit_clip=args.weight_edit_clip,
+                clip_size=vcfg.input_resolution,
+            )
+            ctx4c = jnp.concatenate([uncond, src_ctx, src_ctx, tar_ctx],
+                                    axis=0)
+            ctrl2 = _dc.replace(control, cond_start=2)
+            edited = runner(pipe.unet_params, w0, ctx4c, ctrl2,
+                            jax.random.PRNGKey(0))
+        elif args.mode == "h_edit_R_p2p":
             style_fn = make_style_step(
                 pipe.vae_decode, vision_apply, ref_g, sched,
                 args.weight_edit_clip, clip_size=vcfg.input_resolution,

@@ -59,6 +59,8 @@ def h_edit_style(
     control: P2PControl,
     local_blend: Optional[LocalBlendState] = None,
     style_fn=None,
+    xts=None,
+    derive_zs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Thin wrapper: p2p-implicit h-Edit + style step.  The style workload
     disables LocalBlend and heuristic eq_params by policy
@@ -67,6 +69,7 @@ def h_edit_style(
         eps_fn, schedule, xT, zs, uncond_ctx=uncond_ctx, src_ctx=src_ctx,
         tar_ctx=tar_ctx, cfg=cfg, after_skip_steps=after_skip_steps,
         control=control, local_blend=local_blend, style_fn=style_fn,
+        xts=xts, derive_zs=derive_zs,
     )
 
 
@@ -140,3 +143,110 @@ def ef_style(
 
     (x_orig, x_edit), _ = jax.lax.scan(body, (xT, xT), (steps, grid.ts, grid.tts, grid.zs))
     return x_edit, x_orig
+
+
+def make_style_runner(
+    unet,
+    vae_decode_fn,
+    vision_apply,
+    ref_gram,
+    schedule: Schedule,
+    cfg: HEditConfig,
+    *,
+    after_skip_steps: int,
+    weight_edit_clip: float,
+    clip_size: int = 224,
+):
+    """Hostloop-form style editor: the remote-compile path for
+    ``h_edit_R_p2p + style`` (VERDICT r2 #5 — the fused 50-step scan's
+    single-jit graph stalled the axon remote-compile service for >9 min in
+    round 2; these per-step executables each hold at most one network tower).
+
+    Three executables, dispatched per step like the flagship runner
+    (``parallel/sweep.py:make_flagship_runner``):
+
+    * ``base``: single-row source eps (cfg_src == 1 cancellation),
+    * ``step``: the batch-4 controlled call + implicit h-Edit posterior math
+      (returns x_opt BEFORE the style step, plus eps_tar / correction and the
+      controller-source row that seeds the next step's derived inversion
+      residual),
+    * ``style``: the style VJP — Tweedie x0 -> VAE decode -> CLIP Gram loss,
+      gradient wrt x_opt with eps stopped (``h_edit.py:160-182``).  No UNet
+      in this graph.
+
+    Numerics match ``h_edit_style`` (the fused scan form) exactly; the
+    equivalence is pinned by ``tests/test_style_and_pnp_baselines.py``.
+
+    Returns ``run(unet_params, vae_params_closure..., x0 latent [1,H,W,C],
+    ctx4c [4,77,D], control, rng) -> edited [1,H,W,C]``.  Style policy
+    disables LocalBlend (``main_edit.py:178-180``), so no store carry.
+    """
+    assert cfg.implicit and cfg.cfg_src == 1.0 and cfg.eta > 0 and \
+        cfg.optimization_steps == 1, "style runner implements the script config"
+    S = after_skip_steps
+    from hedit_tpu.invert.ddpm import sample_xts_from_x0
+
+    def base_eps(params, x_edit, t, src_ctx):
+        return unet.apply(params, x_edit, jnp.broadcast_to(t, (1,)), src_ctx)
+
+    def step_fn(params, x_edit, eps_src, eps_orig, x_orig_t, x_prev_orig,
+                t, tt, i, ctrl, ctx4c):
+        mu = schedule.reverse_step(eps_orig, t, x_orig_t, eta=cfg.eta,
+                                   variance_noise=jnp.zeros_like(x_orig_t))
+        z = (x_prev_orig - mu) / jnp.sqrt(schedule.variance(t))
+        x_opt = schedule.reverse_step(eps_src, t, x_edit, eta=cfg.eta,
+                                      variance_noise=z)
+        ctrl = dataclasses.replace(ctrl, step=i, cond_start=2)
+        eps4c = unet.apply(
+            params,
+            jnp.concatenate([x_opt, x_opt, x_prev_orig, x_opt], axis=0),
+            jnp.broadcast_to(tt, (4,)), ctx4c, ctrl,
+        )
+        coeff = schedule.h_edit_coeff(t, tt, cfg.eta)
+        u_tar, cond_src, c_tar = eps4c[0:1], eps4c[1:2], eps4c[3:4]
+        eps_se = u_tar + cfg.cfg_src_edit * (cond_src - u_tar)
+        eps_ta = u_tar + cfg.cfg_tar * (c_tar - u_tar)
+        correction = eps_ta - eps_se
+        return x_opt + coeff * correction, eps_ta, correction, eps4c[2:3]
+
+    def style_step(x_opt, eps_tar, tt, correction):
+        eps = jax.lax.stop_gradient(eps_tar)
+
+        def obj(x):
+            x0 = schedule.tweedie_x0(eps, tt, x)
+            img = vae_decode_fn(x0)
+            return style_loss(vision_apply, img, ref_gram, size=clip_size)
+
+        g = jax.grad(obj)(x_opt)
+        rho = _rms(correction) / (_rms(g) + 1e-12) * weight_edit_clip
+        return x_opt - rho * g
+
+    base_jit = jax.jit(base_eps)
+    step_jit = jax.jit(step_fn)
+    style_jit = jax.jit(style_step)
+
+    # after-skip grid (make_step_grid semantics: op = timesteps[-S:])
+    ts_dev = schedule.timesteps[-S:]
+    tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
+
+    def run(params, x0, ctx4c, control, rng):
+        xts, _ = sample_xts_from_x0(schedule, x0, rng)  # [S+1, H, W, C]
+        src_ctx = ctx4c[1:2]
+        x_edit = xts[S][None]
+        eps_orig = None
+        for i in range(S):
+            x_orig_t = xts[S - i][None]
+            x_prev_orig = xts[S - 1 - i][None]
+            eps_src = base_jit(params, x_edit, ts_dev[i], src_ctx)
+            if eps_orig is None:
+                eps_orig = eps_src  # step 0: x_edit == xT == x_orig
+            x_opt, eps_tar, corr, eps_orig = step_jit(
+                params, x_edit, eps_src, eps_orig, x_orig_t, x_prev_orig,
+                ts_dev[i], tts_dev[i], jnp.array(i, jnp.int32), control,
+                ctx4c,
+            )
+            x_edit = style_jit(x_opt, eps_tar, tts_dev[i], corr)
+        return x_edit
+
+    run.base_jit, run.step_jit, run.style_jit = base_jit, step_jit, style_jit
+    return run

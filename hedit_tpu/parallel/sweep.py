@@ -274,7 +274,10 @@ def make_flagship_runner(
         in_axes=(None, 0, 0, 0, 0, 0, None, None, None, 0, 0, 0),
     ))
 
-    ts_dev = sched.timesteps
+    # the after-skip grid: op = timesteps[-S:] (make_step_grid semantics) —
+    # identical to the full schedule at skip == 0, and xts[S - i] indexes the
+    # matching q-sampled trajectory points when S < num_inference_steps
+    ts_dev = sched.timesteps[-S:]
     tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
     sample_v = jax.jit(jax.vmap(
         lambda x0, k: sample_xts_from_x0(sched, x0, k)[0]))

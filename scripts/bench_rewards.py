@@ -1,0 +1,211 @@
+"""Measure the reward-guided workloads end-to-end on the real chip
+(VERDICT r2 #5 — round 2 shipped only an extrapolated 7.3 s/image face
+figure, and the style CLI's fused-scan compile stalled the axon remote
+service for >9 min).
+
+Two workloads, selected by HEDIT_REWARD_BENCH (run each in its own process
+so a remote-compile failure of one cannot orphan the other):
+
+* face  — CelebA-HQ DDPM 256x256 h_edit_R at the reference config
+  (``face-swapping/main_edit.py``: 100 steps, optimization_steps 3,
+  ID + LPIPS guidance, weight 50): SDE inversion + the CLI's fused-scan
+  edit jit.  Per step the edit runs 1 + 3x2 UNet forwards and 6 reward
+  VJPs (ArcFace / LPIPS-VGG fwd+bwd) — gradients do NOT flow through the
+  UNet (eps is stop-gradient'd), so the scan body stays compile-sized.
+* style — SD-1.5 512px h_edit_R_p2p + CLIP-Gram style step at the script
+  config (``text-guided-n-style/scripts``: 50 steps, implicit, cfg 5/7.5,
+  weight_edit_clip 1.5) through the HOSTLOOP runner
+  (``edit/style.py:make_style_runner``) — per-step executables so no
+  single graph holds UNet+VAE+CLIP VJPs at once.
+
+Weights are seeded random (zero-egress image, no checkpoints); FLOP/byte
+traffic matches the real models exactly, which is what wall-clock measures.
+Prints one JSON line per workload; numbers land in PERF_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def bench_face():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hedit_tpu.edit.face_swap import h_edit_r_face
+    from hedit_tpu.invert.sde import invert_sde
+    from hedit_tpu.pipelines.face import create_face_pipeline
+
+    S = 100
+    pipe = create_face_pipeline(num_inference_steps=S, seed=0)
+    rs = np.random.RandomState(0)
+    src_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+    ref_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+
+    eps_fn = pipe.eps_fn()
+    t0 = time.perf_counter()
+    inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=1.0,
+                     rng=jax.random.PRNGKey(42), step_chunk=10)
+    inv.xts.block_until_ready()
+    t_inv_cold = time.perf_counter() - t0
+    print(f"# face inversion cold (compile+run): {t_inv_cold:.1f}s",
+          file=sys.stderr)
+
+    from hedit_tpu.models.arcface import cosine_loss as _cos_loss
+
+    ref_embed = jax.lax.stop_gradient(pipe.id_embed(ref_img))
+
+    @jax.jit
+    def run_edit(unet_p, arc_p, lp_p, xT, zs, ref_embed, src_img):
+        eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+        idf = lambda img: _cos_loss(arc_p, pipe.arcface, img, ref_embed)  # noqa: E731
+        lpf = lambda img: jnp.mean(pipe.lpips.apply(lp_p, img, src_img))  # noqa: E731
+        return h_edit_r_face(
+            eps, pipe.schedule, xT, zs, id_loss_fn=idf, lpips_loss_fn=lpf,
+            weight_edit_face=50.0, eta=1.0, optimization_steps=3,
+            after_skip_steps=S, soft_face_mask=None,
+        )
+
+    xT = inv.xts[S][None] if inv.xts.ndim == 4 else inv.xts[S]
+    if xT.ndim == 3:
+        xT = xT[None]
+    t0 = time.perf_counter()
+    out = run_edit(pipe.unet_params, pipe.arcface_params, pipe.lpips_params,
+                   xT, inv.zs, ref_embed, src_img)
+    out.block_until_ready()
+    print(f"# face edit cold (compile+run): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times_inv, times_edit = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=1.0,
+                         rng=jax.random.PRNGKey(i), step_chunk=10)
+        inv.xts.block_until_ready()
+        times_inv.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = run_edit(pipe.unet_params, pipe.arcface_params,
+                       pipe.lpips_params, xT, inv.zs, ref_embed, src_img)
+        out.block_until_ready()
+        times_edit.append(time.perf_counter() - t0)
+    print(f"# face timed: inv {[round(t, 2) for t in times_inv]} "
+          f"edit {[round(t, 2) for t in times_edit]}", file=sys.stderr)
+    sec = min(times_inv) + min(times_edit)
+    print(json.dumps({
+        "metric": "face_swap_100step_hedit_R_wall_s_per_image",
+        "value": round(sec, 3), "unit": "s/image",
+        "inversion_s": round(min(times_inv), 3),
+        "edit_s": round(min(times_edit), 3),
+    }))
+
+
+def bench_style():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hedit_tpu.control.p2p import P2PControl
+    from hedit_tpu.edit.h_edit import HEditConfig
+    from hedit_tpu.edit.style import make_style_runner
+    from hedit_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionTower
+    from hedit_tpu.models.unet_sd import UNet2DCondition, UNetConfig
+    from hedit_tpu.models.vae import AutoencoderKL, VAEConfig
+    from hedit_tpu.rewards.clip_style import reference_gram
+    from hedit_tpu.core.schedule import Schedule
+
+    S = 50
+    ucfg = dataclasses.replace(UNetConfig.sd15(), dtype=jnp.bfloat16)
+    unet = UNet2DCondition(ucfg)
+    shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)),
+        jnp.array(1), jnp.zeros((1, 77, 768)),
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+
+    vae = AutoencoderKL(VAEConfig.sd())
+    vae_shapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3)))
+    vae_params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 1e-3, s.dtype), vae_shapes)
+
+    vcfg = CLIPVisionConfig.vit_b16()
+    tower = CLIPVisionTower(vcfg)
+    tower_shapes = jax.eval_shape(
+        tower.init, jax.random.PRNGKey(2), jnp.zeros((1, 224, 224, 3)))
+    vp = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 1e-3, s.dtype), tower_shapes)
+    vapply = lambda x: tower.apply(vp, x)  # noqa: E731
+
+    def vae_dec(z):
+        return vae.apply(vae_params, z, method=vae.decode)
+
+    rs = np.random.RandomState(0)
+    style01 = jnp.asarray(rs.rand(1, 224, 224, 3).astype(np.float32))
+    t0 = time.perf_counter()
+    ref_g = reference_gram(vapply, style01)
+    ref_g = jax.block_until_ready(ref_g)
+    print(f"# style reference gram: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    sched = Schedule.create(S)
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=5.0, cfg_tar=7.5,
+                      implicit=True)
+    ctrl = P2PControl(
+        step=jnp.zeros((), jnp.int32),
+        cross_alpha=jnp.asarray(
+            (np.arange(S + 1) < int(0.4 * (S + 1))).astype(np.float32)[:, None]
+            * np.ones((1, 77), np.float32)),
+        refine_mapper=jnp.arange(77), refine_alphas=jnp.ones(77),
+        replace_mapper=jnp.eye(77), equalizer=jnp.ones(77),
+        self_replace_until=int(0.35 * S), blend_px=256, cond_start=2,
+    )
+    run = make_style_runner(unet, vae_dec, vapply, ref_g, sched, cfg,
+                            after_skip_steps=S, weight_edit_clip=1.5)
+    x0 = jnp.asarray(rs.randn(1, 64, 64, 4).astype(np.float32) * 0.2)
+    uncond, src, tar = (
+        jnp.asarray(rs.randn(1, 77, 768).astype(np.float32) * 0.1)
+        for _ in range(3))
+    ctx4c = jnp.concatenate([uncond, src, src, tar], axis=0)
+
+    t0 = time.perf_counter()
+    out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(0))
+    out.block_until_ready()
+    print(f"# style edit cold (compile+run): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(i + 1))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    print(f"# style timed: {[round(t, 2) for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "style_50step_hedit_R_p2p_clip_gram_wall_s_per_image",
+        "value": round(min(times), 3), "unit": "s/image",
+    }))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    which = os.environ.get("HEDIT_REWARD_BENCH", "style")
+    if which == "face":
+        bench_face()
+    else:
+        bench_style()
+
+
+if __name__ == "__main__":
+    main()

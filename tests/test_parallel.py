@@ -290,6 +290,48 @@ def test_p2p_batch_scan_sharded_equals_single(p2p_batch_setup):
     assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
 
 
+def test_flagship_runner_skip_matches_scan(p2p_batch_setup):
+    """skip > 0: the runner must step the AFTER-SKIP timestep grid
+    (timesteps[-S:], make_step_grid semantics) — a 6-step schedule edited
+    for 4 steps must equal the scan form, which indexes the same grid."""
+    s = p2p_batch_setup
+    pipe, cfg, S = s["pipe"], s["cfg"], s["S"]
+
+    from hedit_tpu.core.schedule import Schedule
+    from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
+    from hedit_tpu.invert.ddpm import sample_xts_from_x0
+    from hedit_tpu.parallel.sweep import make_flagship_runner, stack_pytrees
+
+    sched6 = Schedule.create(6, steps_offset=1)
+    run = make_flagship_runner(pipe.unet, sched6, cfg, after_skip_steps=S)
+    b = 0
+    ctx4 = jnp.concatenate([s["unconds"][b][None], s["srcs"][b][None],
+                            s["srcs"][b][None], s["tars"][b][None]], axis=0)
+    rng = jax.random.PRNGKey(9)
+    out = run(pipe.unet_params, s["x0s"][:1][:, None], ctx4[None],
+              stack_pytrees(s["controls"][:1]), stack_pytrees(s["blends"][:1]),
+              rng)
+
+    def eps_ctrl(x, t, c, c_obj):
+        if getattr(c_obj, "stores_attn", False):
+            o, aux = pipe.unet.apply(pipe.unet_params, x, t, c, c_obj, True,
+                                     mutable=["attn_store"])
+            return o, aux["attn_store"]
+        return pipe.unet.apply(pipe.unet_params, x, t, c, c_obj)
+
+    keys = jax.random.split(rng, 1)
+    xts = sample_xts_from_x0(sched6, s["x0s"][0][None], keys[0])[0]
+    edited, _ = h_edit_p2p(
+        eps_ctrl, sched6, xts[S][None], None,
+        uncond_ctx=s["unconds"][0][None], src_ctx=s["srcs"][0][None],
+        tar_ctx=s["tars"][0][None], cfg=cfg, after_skip_steps=S,
+        control=s["controls"][0], local_blend=s["blends"][0],
+        xts=xts[: S + 1], derive_zs=True,
+    )
+    d = np.abs(np.asarray(out[0]) - np.asarray(edited))
+    assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
+
+
 def test_flagship_runner_matches_scan(p2p_batch_setup):
     """The hostloop flagship runner (promoted from bench.py) must reproduce
     the library scan path bit-for-bit up to f32 reduction order."""

@@ -180,3 +180,48 @@ def test_ef_pnp_derive_zs_equivalence(setup):
     # batching-drift tolerance — see test_ef_p2p_derive_zs_equivalence
     np.testing.assert_allclose(np.asarray(edited_b), np.asarray(edited_a),
                                atol=5e-3)
+
+
+def test_style_runner_matches_scan(setup):
+    """The hostloop style runner (per-step executables, the axon
+    remote-compile path) must reproduce h_edit_style's fused scan on the
+    same sampled trajectory (derive_zs config)."""
+    pipe, eps_plain, eps_ctrl, x0, uncond, src, tar = setup
+    from hedit_tpu.control.p2p import P2PControl
+    from hedit_tpu.edit.style import make_style_runner
+    from hedit_tpu.invert.ddpm import sample_xts_from_x0
+
+    vcfg = CLIPVisionConfig.tiny()
+    tower = CLIPVisionTower(vcfg)
+    style01 = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32))
+    vp = tower.init(jax.random.PRNGKey(1), style01)
+    vapply = lambda x: tower.apply(vp, x)  # noqa: E731
+    ref_g = reference_gram(vapply, style01)
+    vae_dec = lambda z: pipe.vae_decode(z)  # noqa: E731
+
+    ctrl = P2PControl(
+        step=jnp.zeros((), jnp.int32), cross_alpha=jnp.zeros((S + 1, 77)),
+        refine_mapper=jnp.arange(77), refine_alphas=jnp.ones(77),
+        replace_mapper=jnp.eye(77), equalizer=jnp.ones(77), blend_px=16,
+        cond_start=2,
+    )
+    cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True)
+    run = make_style_runner(
+        pipe.unet, vae_dec, vapply, ref_g, pipe.schedule, cfg,
+        after_skip_steps=S, weight_edit_clip=0.5, clip_size=32,
+    )
+    ctx4c = jnp.concatenate([uncond, src, src, tar], axis=0)
+    rng = jax.random.PRNGKey(7)
+    out = run(pipe.unet_params, x0, ctx4c, ctrl, rng)
+
+    # scan form on the identical trajectory (derive_zs, indexed source)
+    xts, _ = sample_xts_from_x0(pipe.schedule, x0, rng)
+    style_fn = make_style_step(vae_dec, vapply, ref_g, pipe.schedule, 0.5,
+                               clip_size=32)
+    edited, _ = h_edit_style(
+        eps_ctrl, pipe.schedule, xts[S][None], None, uncond_ctx=uncond,
+        src_ctx=src, tar_ctx=tar, cfg=cfg, after_skip_steps=S, control=ctrl,
+        style_fn=style_fn, xts=xts[: S + 1], derive_zs=True,
+    )
+    d = np.abs(np.asarray(out) - np.asarray(edited))
+    assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
