@@ -16,8 +16,10 @@ Compute dtype bfloat16 (MXU-native), posterior math float32.
 Execution structure (HEDIT_BENCH_MODE):
 * batch (default): the LIBRARY flagship runner
   (``parallel/sweep.py:make_flagship_runner``) vmapped over
-  HEDIT_BENCH_BATCH images — two shared executables per step.  Measured
-  1.955 s/image at batch 4 (round 3).
+  HEDIT_BENCH_BATCH images — two shared executables per step.  Batch sweep
+  on chip (round 3): 1.955 s/image at batch 4, 1.921 at batch 8 (best —
+  the default), 2.023 at batch 16 (activation working set spills past the
+  ~1.9 s/image MXU plateau).
 * scan: the library's fused lax.scan pipeline in ONE jit with params passed
   as an ARGUMENT (closing over concrete params would bake 3.4GB of
   constants into the HLO and break the remote compiler).  With
@@ -500,7 +502,7 @@ def main():
             print(f"# stepjit mode failed: {type(e).__name__}: {str(e)[:300]}; hostloop fallback")
             sec = run_hostloop()
     elif mode == "batch":
-        n = int(os.environ.get("HEDIT_BENCH_BATCH", "4"))
+        n = int(os.environ.get("HEDIT_BENCH_BATCH", "8"))
         try:
             sec = run_batch(n)
         except Exception as e:
@@ -519,7 +521,7 @@ def main():
         # throughput view of the same measurement (the 700-image PieBench
         # sweep is a throughput job; per-image latency understates batching)
         out["images_per_s"] = round(1.0 / sec, 3)
-        out["batch_images"] = int(os.environ.get("HEDIT_BENCH_BATCH", "4"))
+        out["batch_images"] = int(os.environ.get("HEDIT_BENCH_BATCH", "8"))
     print(json.dumps(out))
 
 

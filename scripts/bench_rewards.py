@@ -47,10 +47,18 @@ def bench_face():
     src_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
     ref_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
 
-    eps_fn = pipe.eps_fn()
+    # jit the whole inversion: unjitted, lax.scan re-traces on every call,
+    # which costs seconds of host time per image on a 1-core box.  The UNet
+    # params must be an ARGUMENT — closing over them bakes the weights into
+    # the serialized HLO and the remote-compile request 413s.
+    @jax.jit
+    def invert_jit(unet_p, x0, key):
+        eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+        return invert_sde(eps, pipe.schedule, x0, eta=1.0, rng=key,
+                          step_chunk=10)
+
     t0 = time.perf_counter()
-    inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=1.0,
-                     rng=jax.random.PRNGKey(42), step_chunk=10)
+    inv = invert_jit(pipe.unet_params, src_img, jax.random.PRNGKey(42))
     inv.xts.block_until_ready()
     t_inv_cold = time.perf_counter() - t0
     print(f"# face inversion cold (compile+run): {t_inv_cold:.1f}s",
@@ -84,8 +92,7 @@ def bench_face():
     times_inv, times_edit = [], []
     for i in range(3):
         t0 = time.perf_counter()
-        inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=1.0,
-                         rng=jax.random.PRNGKey(i), step_chunk=10)
+        inv = invert_jit(pipe.unet_params, src_img, jax.random.PRNGKey(i))
         inv.xts.block_until_ready()
         times_inv.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
