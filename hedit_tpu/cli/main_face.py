@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--parser_ckpt", type=str, default=os.environ.get("HEDIT_PARSER_CKPT"))
     p.add_argument("--resume", action="store_true",
                    help="skip a pair when its output exists (SURVEY.md 5.3)")
+    p.add_argument("--data_parallel", type=int, default=0, metavar="B",
+                   help="batch B pairs per jit call, pair axis sharded over "
+                        "the mesh 'data' axis (parallel/sweep.py:"
+                        "face_batch_fn); 0 = serial reference loop")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--step_chunk", type=int, default=10)
@@ -58,6 +62,9 @@ def parse_args(argv=None):
     if (args.save_trajectory or args.load_trajectory) and args.data_file:
         p.error("--save_trajectory/--load_trajectory encode a single source "
                 "image; use --ref/--source instead of --data_file")
+    if args.data_parallel > 0 and (args.save_trajectory or args.load_trajectory):
+        p.error("trajectory capture/injection encodes a single pair; it is "
+                "incompatible with --data_parallel")
     assert args.eta == 1.0, "face swapping requires eta == 1.0 (main_edit.py:64)"
     if args.optimization_steps == 1 and args.weight_edit_face == 50.0:
         args.weight_edit_face = 100.0  # (:60)
@@ -67,9 +74,8 @@ def parse_args(argv=None):
 def main(argv=None):
     from hedit_tpu.edit.face_swap import ef_face, h_edit_r_face
     from hedit_tpu.invert.sde import invert_sde
-    from hedit_tpu.io_utils.images import dataset_from_json, image_grid, load_image, to_pil
+    from hedit_tpu.io_utils.images import dataset_from_json, load_image
     from hedit_tpu.pipelines.face import create_face_pipeline
-    from hedit_tpu.rewards.face_mask import build_face_mask
 
     args = parse_args(argv)
     force_platform(args.platform)
@@ -80,8 +86,16 @@ def main(argv=None):
         lpips_ckpt=args.lpips_ckpt, parser_ckpt=args.parser_ckpt,
     )
     res = pipe.unet.cfg.resolution
-    eps_fn = pipe.eps_fn()
     N = args.num_diffusion_steps - args.skip
+
+    # jit the inversion once with the UNet params as an ARGUMENT: unjitted,
+    # lax.scan re-traces per pair, costing seconds of host time per image
+    # on a dataset sweep (measured in scripts/bench_rewards.py)
+    @jax.jit
+    def invert_jit(unet_p, src_img, key):
+        eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+        return invert_sde(eps, pipe.schedule, src_img, eta=args.eta,
+                          rng=key, step_chunk=args.step_chunk)
 
     pairs = []
     if args.data_file:
@@ -96,6 +110,31 @@ def main(argv=None):
         pairs.append((args.ref, args.source))
 
     os.makedirs(args.output_path, exist_ok=True)
+    if args.data_parallel > 0:
+        return run_data_parallel_face(args, pipe, pairs)
+
+    # jit the reward-guided loop ONCE with all frozen params as ARGUMENTS
+    # (see the inversion jit above for why); mode/steps are closure-static
+    from hedit_tpu.models.arcface import cosine_loss as _cos_loss
+
+    @jax.jit
+    def run_edit(unet_p, arc_p, lp_p, xT, zs, ref_embed, src_img):
+        eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+        idf = lambda img: _cos_loss(arc_p, pipe.arcface, img, ref_embed)  # noqa: E731
+        lpf = lambda img: jnp.mean(pipe.lpips.apply(lp_p, img, src_img))  # noqa: E731
+        if args.mode == "h_edit_R":
+            return h_edit_r_face(
+                eps, pipe.schedule, xT, zs, id_loss_fn=idf,
+                lpips_loss_fn=lpf, weight_edit_face=args.weight_edit_face,
+                eta=args.eta, optimization_steps=args.optimization_steps,
+                after_skip_steps=N, soft_face_mask=None,
+            )
+        return ef_face(
+            eps, pipe.schedule, xT, zs, id_loss_fn=idf, lpips_loss_fn=lpf,
+            weight_edit_face=args.weight_edit_face, eta=args.eta,
+            after_skip_steps=N, soft_face_mask=None,
+        )
+
     for ref_path, src_path in pairs:
         out_key = (
             f"{os.path.basename(ref_path).split('.')[0]}_"
@@ -108,9 +147,6 @@ def main(argv=None):
         ref_img = jnp.asarray(load_image(ref_path, size=res))
         src_img = jnp.asarray(load_image(src_path, size=res))
 
-        id_fn = pipe.id_loss_fn(ref_img)
-        lpips_fn = pipe.lpips_loss_fn(src_img)
-
         if args.load_trajectory:
             from hedit_tpu.io_utils.trajectory import load_trajectory
 
@@ -119,65 +155,102 @@ def main(argv=None):
             if inv.zs is None:
                 raise ValueError("face trajectory must include zs")
         else:
-            inv = invert_sde(eps_fn, pipe.schedule, src_img, eta=args.eta,
-                             rng=jax.random.PRNGKey(42),
-                             step_chunk=args.step_chunk)
+            inv = invert_jit(pipe.unet_params, src_img,
+                             jax.random.PRNGKey(42))
         if args.save_trajectory:
             from hedit_tpu.io_utils.trajectory import save_trajectory
 
             save_trajectory(args.save_trajectory, inv)
 
-        seg = pipe.parse(src_img)
-        soft_mask = build_face_mask(seg)
-
         xT = inv.xts[N][None]
 
-        # jit the whole reward-guided loop with all frozen params as
-        # ARGUMENTS (see cli/common.py:jit_with_params for why)
-        from hedit_tpu.models.arcface import cosine_loss as _cos_loss
-
         ref_embed = jax.lax.stop_gradient(pipe.id_embed(ref_img))
-
-        @jax.jit
-        def run_edit(unet_p, arc_p, lp_p, xT, zs, ref_embed, src_img):
-            eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
-            idf = lambda img: _cos_loss(arc_p, pipe.arcface, img, ref_embed)  # noqa: E731
-            lpf = lambda img: jnp.mean(pipe.lpips.apply(lp_p, img, src_img))  # noqa: E731
-            if args.mode == "h_edit_R":
-                return h_edit_r_face(
-                    eps, pipe.schedule, xT, zs, id_loss_fn=idf,
-                    lpips_loss_fn=lpf, weight_edit_face=args.weight_edit_face,
-                    eta=args.eta, optimization_steps=args.optimization_steps,
-                    after_skip_steps=N, soft_face_mask=None,
-                )
-            return ef_face(
-                eps, pipe.schedule, xT, zs, id_loss_fn=idf, lpips_loss_fn=lpf,
-                weight_edit_face=args.weight_edit_face, eta=args.eta,
-                after_skip_steps=N, soft_face_mask=None,
-            )
-
         edited = run_edit(pipe.unet_params, pipe.arcface_params,
                           pipe.lpips_params, xT, inv.zs, ref_embed, src_img)
 
-        if args.post_processing:
-            # mask blend (main_edit.py:211-212)
-            mask = soft_mask if soft_mask.ndim == 4 else soft_mask[..., None]
-            edited = edited * mask + src_img * (1 - mask)
+        grid = _save_pair(args, pipe, ref_img, src_img, edited)
+        grid.save(out)
+        print(f"saved {out}")
+    return 0
 
-        from hedit_tpu.models.arcface import cosine_sim
 
-        ref_embed = pipe.id_embed(ref_img)
-        sim = cosine_sim(pipe.arcface_params, pipe.arcface, edited, ref_embed)
-        print(f"Cosine Similarity: {float(jnp.mean(sim))}")
+def _save_pair(args, pipe, ref_img, src_img, edited):
+    """Post-process (mask blend), print cosine sim, build the result grid —
+    the per-pair tail of the reference loop (``main_edit.py:211-225``)."""
+    from hedit_tpu.io_utils.images import image_grid, to_pil
+    from hedit_tpu.models.arcface import cosine_sim
+    from hedit_tpu.rewards.face_mask import build_face_mask
 
-        grid = image_grid([to_pil(np.asarray(x)) for x in (ref_img, src_img, edited)])
-        key = (
+    if args.post_processing:
+        seg = pipe.parse(src_img)
+        soft_mask = build_face_mask(seg)
+        mask = soft_mask if soft_mask.ndim == 4 else soft_mask[..., None]
+        edited = edited * mask + src_img * (1 - mask)
+    ref_embed = pipe.id_embed(ref_img)
+    sim = cosine_sim(pipe.arcface_params, pipe.arcface, edited, ref_embed)
+    print(f"Cosine Similarity: {float(jnp.mean(sim))}")
+    return image_grid([to_pil(np.asarray(x)) for x in (ref_img, src_img, edited)])
+
+
+def run_data_parallel_face(args, pipe, pairs):
+    """Sharded face-swap sweep: B (ref, source) pairs per jit call over the
+    mesh 'data' axis (``parallel/sweep.py:face_batch_fn``).  The reference
+    loop is serial (``face-swapping/main_edit.py:146``)."""
+    from hedit_tpu.cli.common import resume_skip
+    from hedit_tpu.io_utils.images import load_image
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import face_batch_fn
+
+    B = args.data_parallel
+    mesh = dp_mesh(B)
+    res = pipe.unet.cfg.resolution
+    N = args.num_diffusion_steps - args.skip
+    fn = jax.jit(face_batch_fn(
+        pipe, mode=args.mode, weight_edit_face=args.weight_edit_face,
+        eta=args.eta, optimization_steps=args.optimization_steps,
+        after_skip_steps=N, step_chunk=args.step_chunk,
+    ))
+    unet_p = replicate(pipe.unet_params, mesh)
+    arc_p = replicate(pipe.arcface_params, mesh)
+    lp_p = replicate(pipe.lpips_params, mesh)
+    # serial-path parity: every pair inverts with the reference's fixed
+    # seed-42 key (main_edit.py / sde_inversion.py:22-23)
+    keys = jnp.broadcast_to(jax.random.PRNGKey(42), (B, 2))
+
+    todo = []
+    for ref_path, src_path in pairs:
+        out_key = (
             f"{os.path.basename(ref_path).split('.')[0]}_"
             f"{os.path.basename(src_path).split('.')[0]}"
         )
-        out = os.path.join(args.output_path, f"item_{key}.png")
-        grid.save(out)
-        print(f"saved {out}")
+        out = os.path.join(args.output_path, f"item_{out_key}.png")
+        if resume_skip(args, out, out_key):
+            continue
+        todo.append((ref_path, src_path, out))
+
+    total = 0
+    with jax.set_mesh(mesh):
+        for i in range(0, len(todo), B):
+            chunk = todo[i:i + B]
+            n_real = len(chunk)
+            while len(chunk) < B:  # pad the tail batch
+                chunk.append(chunk[-1])
+            refs = [jnp.asarray(load_image(r, size=res)) for r, _, _ in chunk]
+            srcs = [jnp.asarray(load_image(s, size=res)) for _, s, _ in chunk]
+            ref_embeds = jax.lax.stop_gradient(
+                pipe.id_embed(jnp.concatenate(refs, axis=0)))  # [B, 512]
+            edited = fn(unet_p, arc_p, lp_p,
+                        shard_batch(jnp.concatenate(srcs, axis=0), mesh),
+                        shard_batch(ref_embeds, mesh),
+                        shard_batch(keys, mesh))
+            edited = np.asarray(edited)
+            for j in range(n_real):
+                grid = _save_pair(args, pipe, refs[j], srcs[j],
+                                  jnp.asarray(edited[j][None]))
+                grid.save(chunk[j][2])
+                print(f"saved {chunk[j][2]}")
+                total += 1
+    print(f"done (data-parallel): {total} pairs -> {args.output_path}")
     return 0
 
 

@@ -35,6 +35,15 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def dp_mesh(batch: int) -> Mesh:
+    """A data-axis mesh whose size divides the batch: gcd(B, n_devices)
+    devices (all of them when B is a multiple — the production case; a
+    clean subset otherwise, e.g. a batch of 2 on an 8-device host)."""
+    import math
+
+    return make_mesh(math.gcd(batch, len(jax.devices())), model_parallel=1)
+
+
 # (path-regex, PartitionSpec) — first match wins.  Column-parallel for
 # qkv/up-proj (shard output features), row-parallel for out/down-proj (shard
 # input features; XLA inserts the psum).

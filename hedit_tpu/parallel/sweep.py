@@ -310,3 +310,81 @@ def make_flagship_runner(
 
     run.base_v, run.step_v, run.sample_v = base_v, step_v, sample_v
     return run
+
+
+# -------------------------------------------------------------- face batch #
+# The face-swap workload is the same throughput shape as PieBench: the
+# reference loops (ref, source) pairs serially (``face-swapping/
+# main_edit.py:146``); here the full pipeline (SDE inversion + reward-guided
+# h-Edit) vmaps over pairs and the pair axis shards over the mesh 'data'
+# axis.  Per-pair state is just arrays (source image, reference ArcFace
+# embedding, PRNG key) — no control pytrees needed.
+
+
+def default_face_losses(pipe):
+    """(arc_p, lp_p, src_img [1,H,W,3], ref_embed [1,512]) -> (id_fn, lp_fn)
+    — the reference's ID-cosine + LPIPS pair (``main_edit.py:170-171``)."""
+    from hedit_tpu.models.arcface import cosine_loss
+
+    def build(arc_p, lp_p, src_img, ref_embed):
+        idf = lambda img: cosine_loss(arc_p, pipe.arcface, img, ref_embed)  # noqa: E731
+        lpf = lambda img: jnp.mean(pipe.lpips.apply(lp_p, img, src_img))  # noqa: E731
+        return idf, lpf
+
+    return build
+
+
+def face_batch_fn(
+    pipe,
+    *,
+    mode: str = "h_edit_R",
+    weight_edit_face: float = 50.0,
+    eta: float = 1.0,
+    optimization_steps: int = 3,
+    after_skip_steps: int,
+    step_chunk: int = 10,
+    remat: bool = False,
+    loss_builder=None,
+):
+    """Returns a jittable fn over batched (ref, source) pairs:
+
+    (unet_p, arc_p, lp_p, src_imgs [B,H,W,3], ref_embeds [B,512], rngs [B,2])
+      -> edited [B,H,W,3]
+
+    ``loss_builder`` defaults to :func:`default_face_losses`; tests inject toy
+    losses to keep the equality checks cheap.  All frozen params are
+    ARGUMENTS (closing over them bakes weights into the serialized HLO —
+    see PERF_NOTES round 3).
+    """
+    from hedit_tpu.edit.face_swap import ef_face, h_edit_r_face
+    from hedit_tpu.invert.sde import invert_sde
+
+    sched = pipe.schedule
+    build = loss_builder or default_face_losses(pipe)
+    N = after_skip_steps
+
+    def one(unet_p, arc_p, lp_p, src_img, ref_embed, rng):
+        eps = lambda x, t: pipe.unet.apply(unet_p, x, t)  # noqa: E731
+        inv = invert_sde(eps, sched, src_img[None], eta=eta, rng=rng,
+                         step_chunk=step_chunk)
+        xT = inv.xts[N][None]
+        idf, lpf = build(arc_p, lp_p, src_img[None], ref_embed[None])
+        if mode == "h_edit_R":
+            out = h_edit_r_face(
+                eps, sched, xT, inv.zs, id_loss_fn=idf, lpips_loss_fn=lpf,
+                weight_edit_face=weight_edit_face, eta=eta,
+                optimization_steps=optimization_steps, after_skip_steps=N,
+            )
+        else:
+            out = ef_face(
+                eps, sched, xT, inv.zs, id_loss_fn=idf, lpips_loss_fn=lpf,
+                weight_edit_face=weight_edit_face, eta=eta,
+                after_skip_steps=N, remat=remat,
+            )
+        return out[0]
+
+    def batched(unet_p, arc_p, lp_p, src_imgs, ref_embeds, rngs):
+        return jax.vmap(partial(one, unet_p, arc_p, lp_p))(
+            src_imgs, ref_embeds, rngs)
+
+    return batched

@@ -195,3 +195,20 @@ def test_resume_skips_existing_outputs(tmp_path):
 
     assert main(argv) == 0  # default recomputes
     assert os.path.getmtime(pngs[0]) > mtime
+
+
+@needs_reference
+def test_face_cli_data_parallel(tmp_path):
+    """--data_parallel on the face driver: 2 pairs at batch 2 through the
+    sharded face_batch_fn path (with the full tiny reward stack) must save
+    both result grids."""
+    from hedit_tpu.cli.main_face import main
+
+    rc = main([
+        "--mode", "h_edit_R", "--num_diffusion_steps", "4",
+        "--optimization_steps", "1", "--data_parallel", "2",
+        "--data_file", os.path.join(FACE_DEMO, "demo.json"),
+        "--output_path", str(tmp_path),
+        "--tiny", "--platform", "cpu",
+    ])
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1

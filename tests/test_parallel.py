@@ -377,3 +377,69 @@ def test_flagship_runner_matches_scan(p2p_batch_setup):
         d = np.abs(np.asarray(out[b]) - np.asarray(edited))
         # same accumulation-order bound as above (measured mean 8.7e-5)
         assert d.mean() < 3e-4 and d.max() < 3e-3, (b, d.mean(), d.max())
+
+
+# ------------------------------------------------------------- face batch #
+
+
+@pytest.mark.parametrize("mode", ["h_edit_R", "ef"])
+def test_face_batch_sharded_matches_serial(mode):
+    """The reward-guided face edit, batched + sharded over the mesh 'data'
+    axis (``face_batch_fn``), must equal the serial per-pair loop the CLI
+    runs at --data_parallel 0."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from hedit_tpu.edit.face_swap import ef_face, h_edit_r_face
+    from hedit_tpu.invert.sde import invert_sde
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import face_batch_fn
+    from hedit_tpu.pipelines.face import create_face_pipeline
+
+    S, B, W = 4, 4, 3.0
+    pipe = create_face_pipeline(tiny=True, num_inference_steps=S, seed=0,
+                                with_rewards=False)
+    res = pipe.unet.cfg.resolution
+    rs = np.random.RandomState(0)
+    srcs = jnp.asarray(rs.randn(B, res, res, 3).astype(np.float32) * 0.2)
+    refs = jnp.asarray(rs.randn(B, 8).astype(np.float32))  # toy embeddings
+    keys = jax.random.split(jax.random.PRNGKey(42), B)
+
+    # toy losses with per-pair dependence on both the ref embedding and the
+    # source image (the real builder closes over ArcFace / LPIPS the same way)
+    def build(arc_p, lp_p, src_img, ref_embed):
+        idf = lambda img: -jnp.mean(img) * jnp.mean(ref_embed)  # noqa: E731
+        lpf = lambda img: jnp.mean((img - src_img) ** 2)  # noqa: E731
+        return idf, lpf
+
+    eps = lambda x, t: pipe.unet.apply(pipe.unet_params, x, t)  # noqa: E731
+    singles = []
+    for b in range(B):
+        inv = invert_sde(eps, pipe.schedule, srcs[b][None], eta=1.0,
+                         rng=keys[b], step_chunk=2)
+        idf, lpf = build(None, None, srcs[b][None], refs[b][None])
+        if mode == "h_edit_R":
+            out = h_edit_r_face(
+                eps, pipe.schedule, inv.xts[S][None], inv.zs, id_loss_fn=idf,
+                lpips_loss_fn=lpf, weight_edit_face=W, eta=1.0,
+                optimization_steps=2, after_skip_steps=S)
+        else:
+            out = ef_face(
+                eps, pipe.schedule, inv.xts[S][None], inv.zs, id_loss_fn=idf,
+                lpips_loss_fn=lpf, weight_edit_face=W, eta=1.0,
+                after_skip_steps=S)
+        singles.append(np.asarray(out[0]))
+    singles = np.stack(singles)
+
+    mesh = dp_mesh(B)
+    fn = jax.jit(face_batch_fn(
+        pipe, mode=mode, weight_edit_face=W, eta=1.0, optimization_steps=2,
+        after_skip_steps=S, step_chunk=2, loss_builder=build,
+    ))
+    with jax.set_mesh(mesh):
+        out = fn(replicate(pipe.unet_params, mesh), None, None,
+                 shard_batch(srcs, mesh), shard_batch(refs, mesh),
+                 shard_batch(keys, mesh))
+        out.block_until_ready()
+    assert "data" in str(out.sharding.spec)
+    d = np.abs(np.asarray(out) - singles)
+    assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
