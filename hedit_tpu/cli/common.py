@@ -120,3 +120,79 @@ def result_dir_name(mode: str, args, extra: str = "") -> str:
     if extra:
         parts.append(extra)
     return "_".join(parts)
+
+
+def add_data_parallel_arg(p: argparse.ArgumentParser):
+    p.add_argument("--data_parallel", type=int, default=0, metavar="B",
+                   help="batch B samples per jit call, sample axis sharded "
+                        "over the mesh 'data' axis; 0 = serial reference loop")
+
+
+def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
+                           is_ddim: bool, skip_zs: bool = False,
+                           src_override: Optional[str] = None):
+    """Sharded dataset sweep for the MasaCtrl / PnP drivers: B samples per
+    jit call over the mesh 'data' axis (``parallel/sweep.py:ctrl_batch_fn``).
+    ``edit_one`` carries the driver's mode dispatch; ``src_override`` pins
+    the source prompt (MasaCtrl's null-source convention)."""
+    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import ctrl_batch_fn
+
+    B = args.data_parallel
+    mesh = dp_mesh(B)
+    N = args.num_diffusion_steps - args.skip
+    fn = jax.jit(ctrl_batch_fn(
+        pipe, edit_one, is_ddim=is_ddim, cfg_scale_src=args.cfg_src,
+        inv_eta=1.0 if is_ddim else args.eta, step_chunk=args.step_chunk,
+        after_skip_steps=N, skip_zs=skip_zs,
+    ))
+    params = replicate(pipe.unet_params, mesh)
+    img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+
+    def flush(batch):
+        x0s, us, ss, ts = [], [], [], []
+        for key, item in batch:
+            img = jnp.asarray(load_image(item["image_path"], size=img_size))
+            x0s.append(pipe.vae_encode(img)[0])
+            src = (src_override if src_override is not None else
+                   item.get("original_prompt", ""))
+            src = src.replace("[", "").replace("]", "")
+            tar = item["editing_prompt"].replace("[", "").replace("]", "")
+            e = encode_prompts(pipe, ["", src, tar], args.tiny)
+            us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+        rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
+        shard = lambda x: shard_batch(x, mesh)  # noqa: E731
+        out = fn(params, shard(jnp.stack(x0s)), shard(jnp.stack(us)),
+                 shard(jnp.stack(ss)), shard(jnp.stack(ts)), shard(rngs))
+        seen = set()
+        for (key, item), latent in zip(batch, out):
+            if key in seen:
+                continue  # tail padding
+            seen.add(key)
+            img = to_pil(np.asarray(pipe.vae_decode(latent[None])))
+            out_path = os.path.join(
+                out_dir,
+                os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png")
+            img.save(out_path)
+            print(f"[{key}] saved {out_path}")
+        return len(seen)
+
+    todo = []
+    for key, item in samples:
+        out_path = os.path.join(
+            out_dir,
+            os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png")
+        if resume_skip(args, out_path, key):
+            continue
+        todo.append((key, item))
+
+    total = 0
+    with jax.set_mesh(mesh):
+        for i in range(0, len(todo), B):
+            batch = todo[i:i + B]
+            while len(batch) < B:  # pad the tail batch
+                batch.append(batch[-1])
+            total += flush(batch)
+    print(f"done (data-parallel): {total} samples -> {out_dir}")
+    return 0

@@ -16,7 +16,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts, add_resume_arg, resume_skip
+from hedit_tpu.cli.common import (
+    add_common_model_args,
+    add_data_parallel_arg,
+    add_resume_arg,
+    build_pipeline,
+    encode_prompts,
+    resume_skip,
+    run_data_parallel_ctrl,
+)
 
 MODES = ["h_edit_D_masactrl", "h_edit_R_masactrl", "pnp_inv_masactrl", "ef_masactrl"]
 
@@ -42,6 +50,7 @@ def parse_args(argv=None):
     p.add_argument("--layer", type=int, default=10, help="MasaCtrl start layer")
     p.add_argument("--step_chunk", type=int, default=10)
     add_resume_arg(p)
+    add_data_parallel_arg(p)
     add_common_model_args(p)
     return p.parse_args(argv)
 
@@ -79,6 +88,37 @@ def main(argv=None):
     out_dir = os.path.join(args.output_path,
                            f"{args.mode}_steps_{args.num_diffusion_steps}_skip_{args.skip}")
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.data_parallel > 0:
+        cfg = HEditConfig(cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
+                          cfg_tar=args.cfg_tar, eta=1.0 if is_ddim else args.eta,
+                          is_ddim_inversion=is_ddim,
+                          optimization_steps=args.optimization_steps)
+
+        def edit_one(eps_plain, eps_ctrl, xT, zs, xts, uncond, src, tar):
+            if args.mode in ("h_edit_R_masactrl", "h_edit_D_masactrl"):
+                edited, _ = h_edit_masactrl(
+                    eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                    tar_ctx=tar, cfg=cfg, after_skip_steps=N,
+                    start_step=args.step, start_layer=args.layer, xts=xts,
+                )
+            else:
+                from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+
+                mc = MasaCtrlControl(step=jnp.array(0, jnp.int32),
+                                     start_step=args.step,
+                                     start_layer=args.layer, num_halves=2)
+                edited, _ = ef_or_pnp_inv_p2p(
+                    eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                    tar_ctx=tar, cfg_src=args.cfg_src, cfg_tar=args.cfg_tar,
+                    eta=1.0 if is_ddim else args.eta,
+                    is_ddim_inversion=is_ddim, after_skip_steps=N, control=mc,
+                )
+            return edited
+
+        # MasaCtrl null-source convention (:180)
+        return run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one,
+                                      is_ddim=is_ddim, src_override="")
 
     for key, item in samples:
         out = os.path.join(out_dir,

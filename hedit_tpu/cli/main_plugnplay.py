@@ -16,7 +16,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hedit_tpu.cli.common import add_common_model_args, build_pipeline, encode_prompts, add_resume_arg, resume_skip
+from hedit_tpu.cli.common import (
+    add_common_model_args,
+    add_data_parallel_arg,
+    add_resume_arg,
+    build_pipeline,
+    encode_prompts,
+    resume_skip,
+    run_data_parallel_ctrl,
+)
 
 MODES = ["h_edit_R_pnp", "h_edit_D_pnp", "ef_pnp", "pnp_inv_w_pnp", "nt_pnp",
          "np_pnp", "nmg_pnp"]
@@ -44,6 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--pnp_attn_t", type=float, default=0.35)
     p.add_argument("--step_chunk", type=int, default=10)
     add_resume_arg(p)
+    add_data_parallel_arg(p)
     add_common_model_args(p)
     return p.parse_args(argv)
 
@@ -93,6 +102,59 @@ def main(argv=None):
     )
     os.makedirs(out_dir, exist_ok=True)
 
+    # EF/PnP-Inv + PnP: the pair's source row doubles as the inversion
+    # evaluation (edit/pnp_baselines.py derive_zs) -> skip phase-2
+    derive_base = (args.mode in ("ef_pnp", "pnp_inv_w_pnp")
+                   and (args.cfg_src == 1.0 or is_ddim)
+                   and (args.eta > 0 or is_ddim))
+    eta = 1.0 if is_ddim else args.eta
+
+    if args.data_parallel > 0:
+        cfg = HEditConfig(cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
+                          cfg_tar=args.cfg_tar, eta=eta,
+                          is_ddim_inversion=is_ddim,
+                          optimization_steps=args.optimization_steps)
+
+        def edit_one(eps_plain, eps_ctrl, xT, zs, xts, uncond, src, tar):
+            if args.mode in ("h_edit_R_pnp", "h_edit_D_pnp"):
+                edited, _ = h_edit_pnp(
+                    eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                    tar_ctx=tar, cfg=cfg, after_skip_steps=N,
+                    qk_mask=qk_mask, conv_mask=conv_mask, xts=xts,
+                )
+            elif args.mode in ("ef_pnp", "pnp_inv_w_pnp"):
+                edited, _ = ef_or_pnp_inv_w_pnp(
+                    eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                    tar_ctx=tar, cfg_src=args.cfg_src, cfg_tar=args.cfg_tar,
+                    eta=eta, is_ddim_inversion=is_ddim, after_skip_steps=N,
+                    qk_mask=qk_mask, conv_mask=conv_mask, xts=xts,
+                    derive_zs=derive_base,
+                )
+            elif args.mode == "nmg_pnp":
+                edited, _ = nmg_pnp_loop(
+                    eps_ctrl, sched, xT, xts, zs, uncond_ctx=uncond,
+                    src_ctx=src, tar_ctx=tar, cfg_tar=args.cfg_tar,
+                    after_skip_steps=N, qk_mask=qk_mask, conv_mask=conv_mask,
+                )
+            elif args.mode == "nt_pnp":
+                edited, _ = null_text_pnp(
+                    eps_ctrl, sched, xT, xts, zs, uncond_ctx=uncond,
+                    src_ctx=src, tar_ctx=tar, cfg_tar=args.cfg_tar,
+                    after_skip_steps=N, qk_mask=qk_mask, conv_mask=conv_mask,
+                )
+            elif args.mode == "np_pnp":
+                edited, _ = negative_prompt_pnp(
+                    eps_ctrl, sched, xT, zs, uncond_ctx=uncond, src_ctx=src,
+                    tar_ctx=tar, cfg_tar=args.cfg_tar, after_skip_steps=N,
+                    qk_mask=qk_mask, conv_mask=conv_mask,
+                )
+            else:
+                raise NotImplementedError(args.mode)
+            return edited
+
+        return run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one,
+                                      is_ddim=is_ddim, skip_zs=derive_base)
+
     for key, item in samples:
         out = os.path.join(out_dir,
                            os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png")
@@ -108,24 +170,17 @@ def main(argv=None):
         eps_plain = lambda x, t, c: pipe.unet_eps(x, t, c)  # noqa: E731
         eps_ctrl = lambda x, t, c, ctrl: pipe.unet_eps(x, t, c, ctrl)  # noqa: E731
 
-        # EF/PnP-Inv + PnP: the pair's source row doubles as the inversion
-        # evaluation (edit/pnp_baselines.py derive_zs) -> skip phase-2
-        derive_base = (args.mode in ("ef_pnp", "pnp_inv_w_pnp")
-                       and (args.cfg_src == 1.0 or is_ddim)
-                       and (args.eta > 0 or is_ddim))
         if is_ddim:
             inv = invert_ddim(eps_plain, sched, w0, uncond_ctx=uncond,
                               src_ctx=src_ctx, cfg_scale=args.cfg_src,
                               step_chunk=args.step_chunk,
                               skip_zs=derive_base)
-            eta = 1.0
         else:
             inv = invert_ddpm(eps_plain, sched, w0, uncond_ctx=uncond,
                               src_ctx=src_ctx, cfg_scale_src=args.cfg_src,
                               eta=args.eta, rng=jax.random.PRNGKey(0),
                               step_chunk=args.step_chunk,
                               skip_zs=derive_base)
-            eta = args.eta
         xT = inv.xts[N][None]
 
         cfg = HEditConfig(cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,

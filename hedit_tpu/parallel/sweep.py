@@ -388,3 +388,63 @@ def face_batch_fn(
             src_imgs, ref_embeds, rngs)
 
     return batched
+
+
+# ----------------------------------------------------- generic ctrl batch #
+# MasaCtrl and PnP share the PieBench per-sample skeleton (invert -> edit);
+# unlike P2P their control state is identical across samples (static
+# start_step/start_layer or step gates), so batching needs no per-sample
+# control pytrees — just the (latent, prompt-embedding, rng) arrays.
+
+
+def ctrl_batch_fn(
+    pipe,
+    edit_one,
+    *,
+    is_ddim: bool,
+    cfg_scale_src: float = 1.0,
+    inv_eta: float = 1.0,
+    step_chunk: int = 10,
+    after_skip_steps: int,
+    skip_zs: bool = False,
+):
+    """Generic data-parallel wrapper for the MasaCtrl / PnP dataset drivers.
+
+    ``edit_one(eps_plain, eps_ctrl, xT [1,...], zs, xts [N+1,...],
+    uncond [1,77,D], src, tar) -> edited [1,...]`` holds the driver's
+    mode dispatch; this wrapper owns the per-sample inversion (DDIM or DDPM
+    edit-friendly) and the vmap.  Returns a jittable
+
+    (params, x0s [B,H,W,C], unconds [B,77,D], srcs, tars, rngs [B,2])
+      -> edited [B,H,W,C]
+
+    with the leading axis sharded over the mesh 'data' axis by the caller.
+    """
+    from hedit_tpu.invert.ddim import invert_ddim
+
+    sched = pipe.schedule
+    N = after_skip_steps
+
+    def one(params, x0, uncond, src, tar, rng):
+        eps_plain = lambda x, t, c: pipe.unet.apply(params, x, t, c)  # noqa: E731
+        eps_ctrl = lambda x, t, c, ctrl: pipe.unet.apply(params, x, t, c, ctrl)  # noqa: E731
+        if is_ddim:
+            inv = invert_ddim(
+                eps_plain, sched, x0[None], uncond_ctx=uncond[None],
+                src_ctx=src[None], cfg_scale=cfg_scale_src,
+                step_chunk=step_chunk, skip_zs=skip_zs,
+            )
+        else:
+            inv = invert_ddpm(
+                eps_plain, sched, x0[None], uncond_ctx=uncond[None],
+                src_ctx=src[None], cfg_scale_src=cfg_scale_src, eta=inv_eta,
+                rng=rng, step_chunk=step_chunk, skip_zs=skip_zs,
+            )
+        xT = inv.xts[N][None]
+        return edit_one(eps_plain, eps_ctrl, xT, inv.zs, inv.xts[: N + 1],
+                        uncond[None], src[None], tar[None])[0]
+
+    def batched(params, x0s, unconds, srcs, tars, rngs):
+        return jax.vmap(partial(one, params))(x0s, unconds, srcs, tars, rngs)
+
+    return batched

@@ -212,3 +212,36 @@ def test_face_cli_data_parallel(tmp_path):
         "--tiny", "--platform", "cpu",
     ])
     assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_masactrl_cli_data_parallel(tmp_path):
+    """--data_parallel on the MasaCtrl driver through the generic
+    ctrl_batch_fn path (pad-to-batch with a single sample)."""
+    from hedit_tpu.cli.main_masactrl import main
+
+    rc = main([
+        "--mode", "h_edit_R_masactrl", "--num_diffusion_steps", "4",
+        "--step", "1", "--layer", "0", "--data_parallel", "2",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--target_prompt", "a brown lizard",
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_plugnplay_cli_data_parallel(tmp_path):
+    """--data_parallel on the PnP driver, DDIM + derive_zs fast path
+    (pnp_inv_w_pnp at eta 0)."""
+    from hedit_tpu.cli.main_plugnplay import main
+
+    rc = main([
+        "--mode", "pnp_inv_w_pnp", "--eta", "0",
+        "--num_diffusion_steps", "4", "--data_parallel", "2",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--source_prompt", "a green lizard",
+        "--target_prompt", "a brown lizard",
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1

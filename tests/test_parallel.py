@@ -443,3 +443,64 @@ def test_face_batch_sharded_matches_serial(mode):
     assert "data" in str(out.sharding.spec)
     d = np.abs(np.asarray(out) - singles)
     assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
+
+
+def test_ctrl_batch_sharded_matches_serial(p2p_batch_setup):
+    """The generic MasaCtrl/PnP data-parallel wrapper (``ctrl_batch_fn``)
+    sharded over the mesh 'data' axis must equal the serial per-sample
+    loop the CLIs run at --data_parallel 0 (here: h_edit_R_masactrl)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    s = p2p_batch_setup
+    pipe, cfg, S = s["pipe"], s["cfg"], s["S"]
+    B = 4
+
+    from hedit_tpu.edit.h_edit_ctrl import h_edit_masactrl
+    from hedit_tpu.invert.ddpm import invert_ddpm
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import ctrl_batch_fn
+
+    rngs = jax.random.split(jax.random.PRNGKey(7), B)
+
+    def eps_plain(x, t, c):
+        return pipe.unet.apply(pipe.unet_params, x, t, c)
+
+    def eps_ctrl(x, t, c, ctrl):
+        return pipe.unet.apply(pipe.unet_params, x, t, c, ctrl)
+
+    singles = []
+    for b in range(B):
+        inv = invert_ddpm(
+            eps_plain, pipe.schedule, s["x0s"][b][None],
+            uncond_ctx=s["unconds"][b][None], src_ctx=s["srcs"][b][None],
+            cfg_scale_src=1.0, eta=1.0, rng=rngs[b], step_chunk=2)
+        edited, _ = h_edit_masactrl(
+            eps_ctrl, pipe.schedule, inv.xts[S][None], inv.zs,
+            uncond_ctx=s["unconds"][b][None], src_ctx=s["srcs"][b][None],
+            tar_ctx=s["tars"][b][None], cfg=cfg, after_skip_steps=S,
+            start_step=1, start_layer=0, xts=inv.xts[: S + 1])
+        singles.append(np.asarray(edited[0]))
+    singles = np.stack(singles)
+
+    def edit_one(ep, ec, xT, zs, xts, uncond, src, tar):
+        edited, _ = h_edit_masactrl(
+            ec, pipe.schedule, xT, zs, uncond_ctx=uncond, src_ctx=src,
+            tar_ctx=tar, cfg=cfg, after_skip_steps=S,
+            start_step=1, start_layer=0, xts=xts)
+        return edited
+
+    mesh = dp_mesh(B)
+    fn = jax.jit(ctrl_batch_fn(pipe, edit_one, is_ddim=False,
+                               cfg_scale_src=1.0, inv_eta=1.0, step_chunk=2,
+                               after_skip_steps=S))
+    with jax.set_mesh(mesh):
+        out = fn(replicate(pipe.unet_params, mesh),
+                 shard_batch(s["x0s"][:B], mesh),
+                 shard_batch(s["unconds"][:B], mesh),
+                 shard_batch(s["srcs"][:B], mesh),
+                 shard_batch(s["tars"][:B], mesh),
+                 shard_batch(rngs, mesh))
+        out.block_until_ready()
+    assert "data" in str(out.sharding.spec)
+    d = np.abs(np.asarray(out) - singles)
+    assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
