@@ -36,6 +36,7 @@ def main(argv=None):
     out_dir = os.path.join(args.output_path, result_dir_name(args.mode + "_demo", args))
     os.makedirs(out_dir, exist_ok=True)
 
+    samples = []
     for i, item in enumerate(items):
         src = item["source_prompt"]
         tar = item["target_prompt"]
@@ -51,20 +52,28 @@ def main(argv=None):
         image = item["image"]
         if not (os.path.isabs(image) and os.path.exists(image)):
             image = args.data_path + image
-        sample = {
+        samples.append((f"demo_{i}", {
             "image_path": image,
             "original_prompt": src,
             "editing_prompt": tar,
             "blended_word": blended,
             "editing_type_id": "0",
-        }
-        out = os.path.join(out_dir, f"demo_{i}.png")
+            "out_name": f"demo_{i}",
+        }))
+
+    if args.data_parallel > 0:
+        from hedit_tpu.cli.main_p2p import run_data_parallel
+
+        return run_data_parallel(args, pipe, out_dir, samples)
+
+    for key, sample in samples:
+        out = os.path.join(out_dir, f"{key}.png")
         from hedit_tpu.cli.common import resume_skip
-        if resume_skip(args, out, f"demo_{i}"):
+        if resume_skip(args, out, key):
             continue
-        img = run_sample(args, pipe, f"demo_{i}", sample)
+        img = run_sample(args, pipe, key, sample)
         img.save(out)
-        print(f"[demo_{i}] saved {out}")
+        print(f"[{key}] saved {out}")
     return 0
 
 

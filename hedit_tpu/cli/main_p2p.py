@@ -378,9 +378,9 @@ def main(argv=None):
 
 
 def _sample_out_path(out_dir, item):
-    return os.path.join(
-        out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
-    )
+    name = item.get("out_name") or (
+        os.path.basename(item["image_path"]).rsplit(".", 1)[0])
+    return os.path.join(out_dir, name + ".png")
 
 
 def _dp_mesh(B: int):
@@ -396,9 +396,11 @@ def _dp_mesh(B: int):
     return make_mesh(math.gcd(B, len(jax.devices())), model_parallel=1)
 
 
-def run_data_parallel(args, pipe, out_dir):
+def run_data_parallel(args, pipe, out_dir, samples=None):
     """Sharded PieBench sweep: B samples per jit call over the mesh 'data'
-    axis (``hedit_tpu/parallel/sweep.py``; currently the h_edit_R path)."""
+    axis (``hedit_tpu/parallel/sweep.py``; currently the h_edit_R path).
+    ``samples``: optional (key, item) iterable overriding ``iter_samples``
+    (the demo driver passes its YAML-derived list)."""
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -409,7 +411,7 @@ def run_data_parallel(args, pipe, out_dir):
     from hedit_tpu.parallel.sweep import edit_batch_fn
 
     if args.mode in DP_P2P_MODES:
-        return run_data_parallel_p2p(args, pipe, out_dir)
+        return run_data_parallel_p2p(args, pipe, out_dir, samples)
     assert args.mode == "h_edit_R", (
         f"--data_parallel supports h_edit_R and {DP_P2P_MODES}"
     )
@@ -431,7 +433,7 @@ def run_data_parallel(args, pipe, out_dir):
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
     batch, total = [], 0
     with jax.set_mesh(mesh):
-        for key, item in iter_samples(args):
+        for key, item in (samples if samples is not None else iter_samples(args)):
             if resume_skip(args, _sample_out_path(out_dir, item), key):
                 continue
             batch.append((key, item))
@@ -452,7 +454,7 @@ def run_data_parallel(args, pipe, out_dir):
 DP_P2P_MODES = ("h_edit_R_p2p", "h_edit_D_p2p", "ef_p2p", "pnp_inv_p2p")
 
 
-def run_data_parallel_p2p(args, pipe, out_dir):
+def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
     """Sharded P2P sweep — the flagship production path (VERDICT r2 #2).
 
     The flagship config (implicit, cfg_src==1, eta>0) runs the hostloop
@@ -506,7 +508,7 @@ def run_data_parallel_p2p(args, pipe, out_dir):
     cond_start = 2 if flagship else 1
     buckets, total = {}, 0
     with jax.set_mesh(mesh):
-        for key, item in iter_samples(args):
+        for key, item in (samples if samples is not None else iter_samples(args)):
             if resume_skip(args, _sample_out_path(out_dir, item), key):
                 continue
             ctrl, lb = build_sample_controls(args, pipe, key, item, N,
@@ -570,9 +572,7 @@ def _flush_dp_p2p_batch(args, pipe, fn, params, mesh, batch, out_dir,
             continue  # tail padding
         seen.add(key)
         img = to_pil(np.asarray(pipe.vae_decode(latent[None])))
-        out_path = os.path.join(
-            out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
-        )
+        out_path = _sample_out_path(out_dir, item)
         img.save(out_path)
         print(f"[{key}] saved {out_path}")
     return len(seen)
@@ -609,9 +609,7 @@ def _flush_dp_batch(args, pipe, fn, params, mesh, batch, out_dir, img_size):
             continue  # tail padding
         seen.add(key)
         img = to_pil(np.asarray(pipe.vae_decode(latent[None])))
-        out_path = os.path.join(
-            out_dir, os.path.basename(item["image_path"]).rsplit(".", 1)[0] + ".png"
-        )
+        out_path = _sample_out_path(out_dir, item)
         img.save(out_path)
         print(f"[{key}] saved {out_path}")
     return len(seen)

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hedit_tpu.cli.common import (
-    add_common_model_args, add_resume_arg, build_pipeline, encode_prompts,
-    resume_skip,
+    add_common_model_args, add_data_parallel_arg, add_resume_arg,
+    build_pipeline, encode_prompts, resume_skip,
 )
 
 
@@ -60,6 +60,7 @@ def parse_args(argv=None):
                         "executables for remote-compile environments "
                         "(edit/style.py:make_style_runner)")
     add_resume_arg(p)
+    add_data_parallel_arg(p)
     add_common_model_args(p)
     args = p.parse_args(argv)
     assert args.eta == 1.0 and args.optimization_steps == 1, (
@@ -120,7 +121,31 @@ def main(argv=None):
                     item[k] = base + v
             samples.append(item)
 
+    def build_control(src_prompt, tar_prompt):
+        sample = pipe.unet.cfg.sample_size
+        if not args.tiny and pipe.tokenizer is not None:
+            return build_p2p_control(
+                num_steps=N, cross_replace_steps=args.xa,
+                self_replace_steps=args.sa, prompts=[src_prompt, tar_prompt],
+                tokenizer=pipe.tokenizer,
+                is_replace=len(src_prompt.split()) == len(tar_prompt.split()),
+                eq_params=None,  # disabled by policy (:178-180)
+                blend_px=(sample // 4) ** 2,
+            )
+        return P2PControl(
+            step=jnp.zeros((), jnp.int32),
+            cross_alpha=jnp.zeros((N + 1, 77)),
+            refine_mapper=jnp.arange(77), refine_alphas=jnp.ones(77),
+            replace_mapper=jnp.eye(77), equalizer=jnp.ones(77),
+            blend_px=(sample // 4) ** 2,
+        )
+
     os.makedirs(args.output_path, exist_ok=True)
+    if args.data_parallel > 0:
+        return run_data_parallel_style(
+            args, pipe, samples, vision, vision_params, vcfg, vision_apply,
+            build_control)
+
     for item in samples:
         name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
         out = os.path.join(args.output_path, f"{args.mode}_style_{name}.png")
@@ -157,24 +182,7 @@ def main(argv=None):
             optimization_steps=1,
             weight_reconstruction=args.weight_reconstruction,
         )
-        sample = pipe.unet.cfg.sample_size
-        if not args.tiny and pipe.tokenizer is not None:
-            control = build_p2p_control(
-                num_steps=N, cross_replace_steps=args.xa,
-                self_replace_steps=args.sa, prompts=[src_prompt, tar_prompt],
-                tokenizer=pipe.tokenizer,
-                is_replace=len(src_prompt.split()) == len(tar_prompt.split()),
-                eq_params=None,  # disabled by policy (:178-180)
-                blend_px=(sample // 4) ** 2,
-            )
-        else:
-            control = P2PControl(
-                step=jnp.zeros((), jnp.int32),
-                cross_alpha=jnp.zeros((N + 1, 77)),
-                refine_mapper=jnp.arange(77), refine_alphas=jnp.ones(77),
-                replace_mapper=jnp.eye(77), equalizer=jnp.ones(77),
-                blend_px=(sample // 4) ** 2,
-            )
+        control = build_control(src_prompt, tar_prompt)
 
         if hostloop:
             # remote-compile path: per-step executables, none of which
@@ -225,6 +233,100 @@ def main(argv=None):
         out = os.path.join(args.output_path, f"{args.mode}_style_{name}.png")
         img.save(out)
         print(f"saved {out}")
+    return 0
+
+
+def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
+                            vision_apply, build_control):
+    """Sharded text+style sweep: B samples per jit call over the mesh 'data'
+    axis (``parallel/sweep.py:style_batch_fn``).  Samples bucket by the P2P
+    control's static signature (replace vs refine) so each stacked control
+    pytree has one treedef."""
+    import dataclasses as _dc
+
+    from hedit_tpu.edit.h_edit import HEditConfig
+    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import stack_pytrees, style_batch_fn
+    from hedit_tpu.rewards.clip_style import reference_gram, style_loss
+
+    B = args.data_parallel
+    mesh = dp_mesh(B)
+    N = args.num_diffusion_steps - args.skip
+    cfg = HEditConfig(
+        cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
+        cfg_tar=args.cfg_tar, eta=args.eta, implicit=True,
+        optimization_steps=1,
+        weight_reconstruction=args.weight_reconstruction,
+    )
+    fn = jax.jit(style_batch_fn(
+        pipe, vision, cfg, mode=args.mode, after_skip_steps=N,
+        weight_edit_clip=args.weight_edit_clip,
+        weight_edit_clip_for_ef=args.weight_edit_clip_for_ef,
+        clip_size=vcfg.input_resolution, step_chunk=args.step_chunk,
+    ))
+    params = replicate(pipe.unet_params, mesh)
+    vae_p = replicate(pipe.vae_params, mesh)
+    vp = replicate(vision_params, mesh)
+    img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
+
+    def flush(batch):
+        x0s, us, ss, ts, gs = [], [], [], [], []
+        for item, _ in batch:
+            img = jnp.asarray(load_image(item["image_path"], size=img_size))
+            x0s.append(pipe.vae_encode(img)[0])
+            style_np = (np.asarray(load_image(
+                item["style"], size=vcfg.input_resolution)) + 1) / 2
+            gs.append(reference_gram(vision_apply, jnp.asarray(style_np)))
+            src = item["original_prompt"].replace("[", "").replace("]", "")
+            tar = item["editing_prompt"].replace("[", "").replace("]", "")
+            e = encode_prompts(pipe, ["", src, tar], args.tiny)
+            us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+        rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
+        shard = lambda x: shard_batch(x, mesh)  # noqa: E731
+        controls = jax.tree_util.tree_map(
+            shard, stack_pytrees([c for _, c in batch]))
+        out = fn(params, vae_p, vp, shard(jnp.stack(x0s)),
+                 shard(jnp.stack(us)), shard(jnp.stack(ss)),
+                 shard(jnp.stack(ts)), controls, shard(jnp.stack(gs)),
+                 shard(rngs))
+        seen = set()
+        for j, ((item, _), latent) in enumerate(zip(batch, out)):
+            name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
+            if name in seen:
+                continue  # tail padding
+            seen.add(name)
+            img_arr = pipe.vae_decode(latent[None])
+            final_loss = style_loss(vision_apply, img_arr, gs[j],
+                                    size=vcfg.input_resolution)
+            print(f"CLIP Gram loss: {float(final_loss)}")
+            out_path = os.path.join(args.output_path,
+                                    f"{args.mode}_style_{name}.png")
+            to_pil(np.asarray(img_arr)).save(out_path)
+            print(f"saved {out_path}")
+        return len(seen)
+
+    buckets, total = {}, 0
+    with jax.set_mesh(mesh):
+        for item in samples:
+            name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
+            out_path = os.path.join(args.output_path,
+                                    f"{args.mode}_style_{name}.png")
+            if resume_skip(args, out_path, name):
+                continue
+            src = item["original_prompt"].replace("[", "").replace("]", "")
+            tar = item["editing_prompt"].replace("[", "").replace("]", "")
+            ctrl = _dc.replace(build_control(src, tar),
+                               step=jnp.zeros((), jnp.int32))
+            sig = (ctrl.mode, ctrl.use_reweight)
+            buckets.setdefault(sig, []).append((item, ctrl))
+            if len(buckets[sig]) == B:
+                total += flush(buckets.pop(sig))
+        for sig, batch in buckets.items():
+            while len(batch) < B:  # pad the tail batch
+                batch.append(batch[-1])
+            total += flush(batch)
+    print(f"done (data-parallel style): {total} samples -> {args.output_path}")
     return 0
 
 

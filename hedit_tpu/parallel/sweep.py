@@ -427,7 +427,16 @@ def ctrl_batch_fn(
 
     def one(params, x0, uncond, src, tar, rng):
         eps_plain = lambda x, t, c: pipe.unet.apply(params, x, t, c)  # noqa: E731
-        eps_ctrl = lambda x, t, c, ctrl: pipe.unet.apply(params, x, t, c, ctrl)  # noqa: E731
+
+        def eps_ctrl(x, t, c, ctrl):
+            # MasaCtrl/PnP controls don't store attention, but keep the
+            # unet_eps contract for any store-control a driver passes
+            if getattr(ctrl, "stores_attn", False):
+                out, aux = pipe.unet.apply(params, x, t, c, ctrl, True,
+                                           mutable=["attn_store"])
+                return out, aux.get("attn_store", {})
+            return pipe.unet.apply(params, x, t, c, ctrl)
+
         if is_ddim:
             inv = invert_ddim(
                 eps_plain, sched, x0[None], uncond_ctx=uncond[None],
@@ -446,5 +455,91 @@ def ctrl_batch_fn(
 
     def batched(params, x0s, unconds, srcs, tars, rngs):
         return jax.vmap(partial(one, params))(x0s, unconds, srcs, tars, rngs)
+
+    return batched
+
+
+# ------------------------------------------------------------- style batch #
+
+
+def style_batch_fn(
+    pipe,
+    vision,
+    cfg,
+    *,
+    mode: str = "h_edit_R_p2p",
+    after_skip_steps: int,
+    weight_edit_clip: float = 0.5,
+    weight_edit_clip_for_ef: float = 1.5,
+    clip_size: int = 224,
+    step_chunk: int = 10,
+):
+    """Batched text+style editor: inversion + P2P-controlled h-Edit + CLIP
+    Gram style step vmapped over samples (reference serial loop:
+    ``text-guided-n-style/main_edit.py:124``).  Per-sample state = the P2P
+    control pytree (stacked leaf-wise, grouped by static signature) and the
+    style image's Gram matrix [D, D].
+
+    All frozen params (UNet, VAE, CLIP vision) are ARGUMENTS — the style VJP
+    flows through the VAE decoder and the vision tower, and closing over
+    their weights would bake them into the serialized HLO (PERF_NOTES).
+
+    (params, vae_p, vision_p, x0s [B,h,w,4], unconds [B,77,D], srcs, tars,
+     controls (stacked P2PControl), ref_grams [B,D,D], rngs [B,2])
+      -> edited latents [B,h,w,4]
+    """
+    from hedit_tpu.edit.style import ef_style, h_edit_style, make_style_step
+    from hedit_tpu.models.vae import AutoencoderKL
+
+    sched = pipe.schedule
+    N = after_skip_steps
+
+    def one(params, vae_p, vp, x0, uncond, src, tar, ctrl, ref_g, rng):
+        vision_apply = lambda x: vision.apply(vp, x)  # noqa: E731
+        vae_dec = lambda z: pipe.vae.apply(  # noqa: E731
+            vae_p, z, method=AutoencoderKL.decode)
+        eps_plain = lambda x, t, c: pipe.unet.apply(params, x, t, c)  # noqa: E731
+
+        def eps_ctrl(x, t, c, co):
+            # pipelines/sd.py:unet_eps with explicit params: store-controls
+            # return (eps, attn_store)
+            if getattr(co, "stores_attn", False):
+                out, aux = pipe.unet.apply(params, x, t, c, co, True,
+                                           mutable=["attn_store"])
+                return out, aux.get("attn_store", {})
+            return pipe.unet.apply(params, x, t, c, co)
+        inv = invert_ddpm(
+            eps_plain, sched, x0[None], uncond_ctx=uncond[None],
+            src_ctx=src[None], cfg_scale_src=cfg.cfg_src, eta=cfg.eta,
+            rng=rng, step_chunk=step_chunk,
+        )
+        xT = inv.xts[N][None]
+        if mode == "h_edit_R_p2p":
+            style_fn = make_style_step(
+                vae_dec, vision_apply, ref_g, sched, weight_edit_clip,
+                clip_size=clip_size,
+            )
+            edited, _ = h_edit_style(
+                eps_ctrl, sched, xT, inv.zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg=cfg,
+                after_skip_steps=N, control=ctrl, local_blend=None,
+                style_fn=style_fn,
+            )
+        else:
+            edited, _ = ef_style(
+                eps_ctrl, sched, xT, inv.zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg_src=cfg.cfg_src,
+                cfg_tar=cfg.cfg_tar, eta=cfg.eta, after_skip_steps=N,
+                control=ctrl, vae_decode=vae_dec, vision_apply=vision_apply,
+                ref_gram=ref_g,
+                weight_edit_clip_for_ef=weight_edit_clip_for_ef,
+                clip_size=clip_size,
+            )
+        return edited[0]
+
+    def batched(params, vae_p, vp, x0s, unconds, srcs, tars, controls,
+                ref_gs, rngs):
+        return jax.vmap(partial(one, params, vae_p, vp))(
+            x0s, unconds, srcs, tars, controls, ref_gs, rngs)
 
     return batched
