@@ -31,6 +31,12 @@ class VAEConfig:
     norm_num_groups: int = 32
     sample_size: int = 512
     dtype: jnp.dtype = jnp.float32
+    # route the mid-block attention to the Pallas flash kernel.  The kernel
+    # has no VJP: paths that DIFFERENTIATE through decode (the style reward,
+    # SURVEY.md 3.4) must build the VAE with use_pallas=False (in f32 the
+    # [4096, 512] K/V residency fails flash_kv_fits and XLA is used anyway;
+    # in bf16 it fits, so the flag is what keeps the decode differentiable).
+    use_pallas: bool = True
 
     @staticmethod
     def sd() -> "VAEConfig":
@@ -47,6 +53,7 @@ class VAEAttention(nn.Module):
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +65,9 @@ class VAEAttention(nn.Module):
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
         tag = LayerTag(place="vae", is_cross=False, num_pixels=h * w, index=-1)
-        out, _ = controlled_attention(q, k, v, heads=1, layer=tag, control=NO_CONTROL)
+        out, _ = controlled_attention(q, k, v, heads=1, layer=tag,
+                                      control=NO_CONTROL,
+                                      use_pallas=self.use_pallas)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, h, w, c) + residual
 
@@ -66,12 +75,14 @@ class VAEAttention(nn.Module):
 class MidBlockVAE(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = ResnetBlock2D(self.channels, use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="resnets_0")(x)
-        x = VAEAttention(self.channels, dtype=self.dtype, name="attentions_0")(x)
+        x = VAEAttention(self.channels, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="attentions_0")(x)
         x = ResnetBlock2D(self.channels, use_time_emb=False, eps=1e-6,
                           dtype=self.dtype, name="resnets_1")(x)
         return x
@@ -94,7 +105,8 @@ class Encoder(nn.Module):
                 # Downsample2D docstring
                 x = Downsample2D(ch, dtype=cfg.dtype, asymmetric_pad=True,
                                  name=f"down_blocks_{bi}_downsamplers_0")(x)
-        x = MidBlockVAE(cfg.block_out_channels[-1], dtype=cfg.dtype, name="mid_block")(x)
+        x = MidBlockVAE(cfg.block_out_channels[-1], dtype=cfg.dtype,
+                        use_pallas=cfg.use_pallas, name="mid_block")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -111,7 +123,8 @@ class Decoder(nn.Module):
         rev = list(reversed(cfg.block_out_channels))
         x = nn.Conv(rev[0], (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
                     name="conv_in")(z)
-        x = MidBlockVAE(rev[0], dtype=cfg.dtype, name="mid_block")(x)
+        x = MidBlockVAE(rev[0], dtype=cfg.dtype, use_pallas=cfg.use_pallas,
+                        name="mid_block")(x)
         for bi, ch in enumerate(rev):
             for li in range(cfg.layers_per_block + 1):
                 x = ResnetBlock2D(ch, use_time_emb=False, eps=1e-6, dtype=cfg.dtype,

@@ -67,10 +67,18 @@ def create_face_pipeline(
     parser_ckpt: Optional[str] = None,
     seed: int = 0,
     with_rewards: bool = True,
+    dtype=None,
 ) -> FacePipeline:
+    """``dtype``: UNet conv/dense compute dtype (e.g. ``jnp.bfloat16`` for
+    the MXU-native path; GroupNorm statistics stay float32 regardless).
+    Posterior math and reward VJPs are float32 either way."""
+    import dataclasses as _dc
+
     from hedit_tpu.io_utils.weights import load_torch_state, validate_against
 
     cfg = DDPMConfig.tiny() if tiny else DDPMConfig.celeba_hq()
+    if dtype is not None:
+        cfg = _dc.replace(cfg, dtype=dtype)
     unet = DDPMUNet(cfg)
     rngs = jax.random.split(jax.random.PRNGKey(seed), 4)
     x = jnp.zeros((1, cfg.resolution, cfg.resolution, 3))

@@ -42,7 +42,9 @@ def bench_face():
     from hedit_tpu.pipelines.face import create_face_pipeline
 
     S = 100
-    pipe = create_face_pipeline(num_inference_steps=S, seed=0)
+    dt = jnp.bfloat16 if os.environ.get("HEDIT_FACE_DTYPE", "bf16") == "bf16" \
+        else None
+    pipe = create_face_pipeline(num_inference_steps=S, seed=0, dtype=dt)
     rs = np.random.RandomState(0)
     src_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
     ref_img = jnp.asarray(rs.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
@@ -135,7 +137,14 @@ def bench_style():
     params = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
 
-    vae = AutoencoderKL(VAEConfig.sd())
+    # bf16 VAE for the style VJP: use_pallas must be OFF — the flash kernel
+    # has no VJP, and at bf16 the [4096, 512] mid-block K/V fits its budget
+    # (f32 never routes there, which is why the f32 baseline needs no flag)
+    vcfg_vae = VAEConfig.sd()
+    if os.environ.get("HEDIT_STYLE_VAE_DTYPE", "bf16") == "bf16":
+        vcfg_vae = dataclasses.replace(vcfg_vae, dtype=jnp.bfloat16,
+                                       use_pallas=False)
+    vae = AutoencoderKL(vcfg_vae)
     vae_shapes = jax.eval_shape(
         vae.init, jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3)))
     vae_params = jax.tree_util.tree_map(

@@ -245,3 +245,34 @@ def test_plugnplay_cli_data_parallel(tmp_path):
         "--output_path", str(tmp_path),
     ] + TINY)
     assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_style_cli_data_parallel(tmp_path):
+    """--data_parallel on the style driver: both reference demo samples
+    through the sharded style_batch_fn path (per-sample Gram matrices +
+    stacked P2P controls)."""
+    from hedit_tpu.cli.main_style import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--num_diffusion_steps", "4",
+        "--data_parallel", "2",
+        "--data_file", os.path.join(STYLE_DEMO, "demo.json"),
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 2
+
+
+@needs_reference
+def test_demo_cli_data_parallel(tmp_path):
+    """--data_parallel on the demo driver: YAML samples routed through
+    main_p2p's sharded sweep with the demo_{i} naming override."""
+    from hedit_tpu.cli.main_demo import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--data_parallel", "2",
+        "--data_path", TG_DEMO,
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1

@@ -504,3 +504,89 @@ def test_ctrl_batch_sharded_matches_serial(p2p_batch_setup):
     assert "data" in str(out.sharding.spec)
     d = np.abs(np.asarray(out) - singles)
     assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
+
+
+def test_style_batch_sharded_matches_serial(p2p_batch_setup):
+    """The batched text+style editor (``style_batch_fn``) sharded over the
+    mesh 'data' axis must equal the serial per-sample loop (tiny SD pipe +
+    tiny CLIP tower, h_edit_R_p2p + Gram style step)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import dataclasses
+
+    from hedit_tpu.edit.h_edit import HEditConfig
+    from hedit_tpu.edit.style import h_edit_style, make_style_step
+    from hedit_tpu.invert.ddpm import invert_ddpm
+    from hedit_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionTower
+    from hedit_tpu.models.vae import AutoencoderKL
+    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel.sweep import stack_pytrees, style_batch_fn
+    from hedit_tpu.rewards.clip_style import reference_gram
+
+    s = p2p_batch_setup
+    pipe, S = s["pipe"], s["S"]
+    B = 4
+    cfg = dataclasses.replace(s["cfg"], eta=1.0)
+
+    vcfg = CLIPVisionConfig.tiny()
+    vision = CLIPVisionTower(vcfg)
+    rs = np.random.RandomState(5)
+    dummy = jnp.zeros((1, vcfg.input_resolution, vcfg.input_resolution, 3))
+    vp = vision.init(jax.random.PRNGKey(3), dummy)
+    vision_apply = lambda x: vision.apply(vp, x)  # noqa: E731
+    ref_gs = jnp.stack([
+        reference_gram(vision_apply, jnp.asarray(
+            rs.rand(1, vcfg.input_resolution, vcfg.input_resolution, 3)
+            .astype(np.float32)))
+        for _ in range(B)
+    ])
+    rngs = jax.random.split(jax.random.PRNGKey(13), B)
+    clip_sz = vcfg.input_resolution
+    W = 0.5
+
+    def vae_dec(z):
+        return pipe.vae.apply(pipe.vae_params, z, method=AutoencoderKL.decode)
+
+    def eps_plain(x, t, c):
+        return pipe.unet.apply(pipe.unet_params, x, t, c)
+
+    def eps_ctrl(x, t, c, co):
+        if getattr(co, "stores_attn", False):
+            out, aux = pipe.unet.apply(pipe.unet_params, x, t, c, co, True,
+                                       mutable=["attn_store"])
+            return out, aux.get("attn_store", {})
+        return pipe.unet.apply(pipe.unet_params, x, t, c, co)
+
+    singles = []
+    for b in range(B):
+        inv = invert_ddpm(
+            eps_plain, pipe.schedule, s["x0s"][b][None],
+            uncond_ctx=s["unconds"][b][None], src_ctx=s["srcs"][b][None],
+            cfg_scale_src=1.0, eta=1.0, rng=rngs[b], step_chunk=2)
+        style_fn = make_style_step(vae_dec, vision_apply, ref_gs[b],
+                                   pipe.schedule, W, clip_size=clip_sz)
+        edited, _ = h_edit_style(
+            eps_ctrl, pipe.schedule, inv.xts[S][None], inv.zs,
+            uncond_ctx=s["unconds"][b][None], src_ctx=s["srcs"][b][None],
+            tar_ctx=s["tars"][b][None], cfg=cfg, after_skip_steps=S,
+            control=s["controls"][b], local_blend=None, style_fn=style_fn)
+        singles.append(np.asarray(edited[0]))
+    singles = np.stack(singles)
+
+    mesh = dp_mesh(B)
+    fn = jax.jit(style_batch_fn(
+        pipe, vision, cfg, mode="h_edit_R_p2p", after_skip_steps=S,
+        weight_edit_clip=W, clip_size=clip_sz, step_chunk=2))
+    shard = lambda x: shard_batch(x, mesh)  # noqa: E731
+    with jax.set_mesh(mesh):
+        out = fn(replicate(pipe.unet_params, mesh),
+                 replicate(pipe.vae_params, mesh), replicate(vp, mesh),
+                 shard(s["x0s"][:B]), shard(s["unconds"][:B]),
+                 shard(s["srcs"][:B]), shard(s["tars"][:B]),
+                 jax.tree_util.tree_map(shard,
+                                        stack_pytrees(s["controls"][:B])),
+                 shard(ref_gs), shard(rngs))
+        out.block_until_ready()
+    assert "data" in str(out.sharding.spec)
+    d = np.abs(np.asarray(out) - singles)
+    assert d.mean() < 3e-4 and d.max() < 3e-3, (d.mean(), d.max())
