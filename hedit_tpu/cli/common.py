@@ -150,7 +150,9 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
     params = replicate(pipe.unet_params, mesh)
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
 
-    def flush(batch):
+    def prepare(batch):
+        """Host-side batch prep (PIL + VAE/CLIP encode); runs on the
+        prefetch worker while the device executes the previous batch."""
         x0s, us, ss, ts = [], [], [], []
         for key, item in batch:
             img = jnp.asarray(load_image(item["image_path"], size=img_size))
@@ -161,10 +163,14 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
             tar = item["editing_prompt"].replace("[", "").replace("]", "")
             e = encode_prompts(pipe, ["", src, tar], args.tiny)
             us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+        return (jnp.stack(x0s), jnp.stack(us), jnp.stack(ss), jnp.stack(ts))
+
+    def consume(batch, prep):
+        x0s, us, ss, ts = prep
         rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
         shard = lambda x: shard_batch(x, mesh)  # noqa: E731
-        out = fn(params, shard(jnp.stack(x0s)), shard(jnp.stack(us)),
-                 shard(jnp.stack(ss)), shard(jnp.stack(ts)), shard(rngs))
+        out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
+                 shard(rngs))
         seen = set()
         for (key, item), latent in zip(batch, out):
             if key in seen:
@@ -187,12 +193,18 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
             continue
         todo.append((key, item))
 
+    batches = []
+    for i in range(0, len(todo), B):
+        batch = todo[i:i + B]
+        while len(batch) < B:  # pad the tail batch
+            batch.append(batch[-1])
+        batches.append(batch)
+
+    from hedit_tpu.io_utils.prefetch import prefetch_map
+
     total = 0
     with jax.set_mesh(mesh):
-        for i in range(0, len(todo), B):
-            batch = todo[i:i + B]
-            while len(batch) < B:  # pad the tail batch
-                batch.append(batch[-1])
-            total += flush(batch)
+        for batch, prep in prefetch_map(batches, prepare):
+            total += consume(batch, prep)
     print(f"done (data-parallel): {total} samples -> {out_dir}")
     return 0

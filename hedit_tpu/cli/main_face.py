@@ -228,17 +228,27 @@ def run_data_parallel_face(args, pipe, pairs):
             continue
         todo.append((ref_path, src_path, out))
 
+    batches = []
+    for i in range(0, len(todo), B):
+        chunk = todo[i:i + B]
+        while len(chunk) < B:  # pad the tail batch
+            chunk.append(chunk[-1])
+        batches.append((chunk, len(todo[i:i + B])))
+
+    def prepare(bat):
+        chunk, _ = bat
+        refs = [jnp.asarray(load_image(r, size=res)) for r, _, _ in chunk]
+        srcs = [jnp.asarray(load_image(s, size=res)) for _, s, _ in chunk]
+        ref_embeds = jax.lax.stop_gradient(
+            pipe.id_embed(jnp.concatenate(refs, axis=0)))  # [B, 512]
+        return refs, srcs, ref_embeds
+
+    from hedit_tpu.io_utils.prefetch import prefetch_map
+
     total = 0
     with jax.set_mesh(mesh):
-        for i in range(0, len(todo), B):
-            chunk = todo[i:i + B]
-            n_real = len(chunk)
-            while len(chunk) < B:  # pad the tail batch
-                chunk.append(chunk[-1])
-            refs = [jnp.asarray(load_image(r, size=res)) for r, _, _ in chunk]
-            srcs = [jnp.asarray(load_image(s, size=res)) for _, s, _ in chunk]
-            ref_embeds = jax.lax.stop_gradient(
-                pipe.id_embed(jnp.concatenate(refs, axis=0)))  # [B, 512]
+        for (chunk, n_real), (refs, srcs, ref_embeds) in prefetch_map(
+                batches, prepare):
             edited = fn(unet_p, arc_p, lp_p,
                         shard_batch(jnp.concatenate(srcs, axis=0), mesh),
                         shard_batch(ref_embeds, mesh),

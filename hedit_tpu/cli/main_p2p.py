@@ -431,22 +431,27 @@ def run_data_parallel(args, pipe, out_dir, samples=None):
     params = replicate(pipe.unet_params, mesh)
 
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
-    batch, total = [], 0
-    with jax.set_mesh(mesh):
-        for key, item in (samples if samples is not None else iter_samples(args)):
-            if resume_skip(args, _sample_out_path(out_dir, item), key):
-                continue
-            batch.append((key, item))
-            if len(batch) < B:
-                continue
-            total += _flush_dp_batch(args, pipe, fn, params, mesh, batch,
-                                     out_dir, img_size)
+    batch, batches = [], []
+    for key, item in (samples if samples is not None else iter_samples(args)):
+        if resume_skip(args, _sample_out_path(out_dir, item), key):
+            continue
+        batch.append((key, item))
+        if len(batch) == B:
+            batches.append(batch)
             batch = []
-        if batch:
-            while len(batch) < B:  # pad the tail batch
-                batch.append(batch[-1])
-            total += _flush_dp_batch(args, pipe, fn, params, mesh, batch,
-                                     out_dir, img_size)
+    if batch:
+        while len(batch) < B:  # pad the tail batch
+            batch.append(batch[-1])
+        batches.append(batch)
+
+    from hedit_tpu.io_utils.prefetch import prefetch_map
+
+    total = 0
+    with jax.set_mesh(mesh):
+        for b, prep in prefetch_map(
+                batches, lambda b: _prep_dp_batch(args, pipe, b, img_size)):
+            total += _consume_dp_batch(args, pipe, fn, params, mesh, b, prep,
+                                       out_dir)
     print(f"done (data-parallel): {total} samples -> {out_dir}")
     return 0
 
@@ -506,48 +511,48 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
     # two UNet downsamples below the latent (SD: 512 -> 64 -> 16)
     res = img_size // 8 // 4
     cond_start = 2 if flagship else 1
-    buckets, total = {}, 0
+    buckets, batches = {}, []
+    for key, item in (samples if samples is not None else iter_samples(args)):
+        if resume_skip(args, _sample_out_path(out_dir, item), key):
+            continue
+        ctrl, lb = build_sample_controls(args, pipe, key, item, N,
+                                         cond_start=cond_start,
+                                         blend_res=res)
+        if lb is None:
+            lb = neutral_blend(N, heads, res)
+        sig = (ctrl.mode, ctrl.use_reweight)
+        buckets.setdefault(sig, []).append((key, item, ctrl, lb))
+        if len(buckets[sig]) == B:
+            batches.append(buckets.pop(sig))
+    for sig, batch in buckets.items():
+        while len(batch) < B:  # pad the tail batch
+            batch.append(batch[-1])
+        batches.append(batch)
+
+    from hedit_tpu.io_utils.prefetch import prefetch_map
+
+    total = 0
     with jax.set_mesh(mesh):
-        for key, item in (samples if samples is not None else iter_samples(args)):
-            if resume_skip(args, _sample_out_path(out_dir, item), key):
-                continue
-            ctrl, lb = build_sample_controls(args, pipe, key, item, N,
-                                             cond_start=cond_start,
-                                             blend_res=res)
-            if lb is None:
-                lb = neutral_blend(N, heads, res)
-            sig = (ctrl.mode, ctrl.use_reweight)
-            buckets.setdefault(sig, []).append((key, item, ctrl, lb))
-            if len(buckets[sig]) == B:
-                total += _flush_dp_p2p_batch(
-                    args, pipe, fn, params, mesh, buckets.pop(sig), out_dir,
-                    img_size, flagship)
-        for sig, batch in buckets.items():
-            while len(batch) < B:  # pad the tail batch
-                batch.append(batch[-1])
-            total += _flush_dp_p2p_batch(
-                args, pipe, fn, params, mesh, batch, out_dir, img_size,
-                flagship)
+        for b, prep in prefetch_map(
+                batches,
+                lambda b: _prep_dp_batch(args, pipe,
+                                         [(k, it) for k, it, _, _ in b],
+                                         img_size)):
+            total += _consume_dp_p2p_batch(args, pipe, fn, params, mesh, b,
+                                           prep, out_dir, flagship)
     print(f"done (data-parallel p2p): {total} samples -> {out_dir}")
     return 0
 
 
-def _flush_dp_p2p_batch(args, pipe, fn, params, mesh, batch, out_dir,
-                        img_size, flagship):
+def _consume_dp_p2p_batch(args, pipe, fn, params, mesh, batch, prep, out_dir,
+                          flagship):
     import jax
 
-    from hedit_tpu.io_utils.images import load_image, to_pil
+    from hedit_tpu.io_utils.images import to_pil
     from hedit_tpu.parallel.mesh import shard_batch
     from hedit_tpu.parallel.sweep import stack_pytrees
 
-    x0s, us, ss, ts = [], [], [], []
-    for key, item, _, _ in batch:
-        img = jnp.asarray(load_image(item["image_path"], size=img_size))
-        x0s.append(pipe.vae_encode(img)[0])
-        src = item["original_prompt"].replace("[", "").replace("]", "")
-        tar = item["editing_prompt"].replace("[", "").replace("]", "")
-        e = encode_prompts(pipe, ["", src, tar], args.tiny)
-        us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+    x0s, us, ss, ts = prep
     B = len(batch)
     controls = stack_pytrees([c for _, _, c, _ in batch])
     blends = stack_pytrees([b for _, _, _, b in batch])
@@ -555,17 +560,14 @@ def _flush_dp_p2p_batch(args, pipe, fn, params, mesh, batch, out_dir,
     controls = jax.tree_util.tree_map(shard, controls)
     blends = jax.tree_util.tree_map(shard, blends)
     if flagship:
-        ctx4s = shard(jnp.stack([
-            jnp.stack([u, s, s, t]) for u, s, t in zip(us, ss, ts)
-        ]))
-        out = fn(params, shard(jnp.stack(x0s)[:, None]), ctx4s, controls,
+        ctx4s = shard(jnp.stack([us, ss, ss, ts], axis=1))  # [B, 4, 77, D]
+        out = fn(params, shard(x0s[:, None]), ctx4s, controls,
                  blends, jax.random.PRNGKey(0))
         out = out[:, 0]
     else:
         rngs = jax.random.split(jax.random.PRNGKey(0), B)
-        out = fn(params, shard(jnp.stack(x0s)), shard(jnp.stack(us)),
-                 shard(jnp.stack(ss)), shard(jnp.stack(ts)), shard(rngs),
-                 controls, blends)
+        out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
+                 shard(rngs), controls, blends)
     seen = set()
     for (key, item, _, _), latent in zip(batch, out):
         if key in seen:
@@ -578,12 +580,10 @@ def _flush_dp_p2p_batch(args, pipe, fn, params, mesh, batch, out_dir,
     return len(seen)
 
 
-def _flush_dp_batch(args, pipe, fn, params, mesh, batch, out_dir, img_size):
-    import jax
-    import numpy as np
-
-    from hedit_tpu.io_utils.images import load_image, to_pil
-    from hedit_tpu.parallel.mesh import shard_batch
+def _prep_dp_batch(args, pipe, batch, img_size):
+    """Host-side batch prep (PIL + VAE/CLIP encode); runs on the prefetch
+    worker while the device executes the previous batch."""
+    from hedit_tpu.io_utils.images import load_image
 
     x0s, us, ss, ts = [], [], [], []
     for key, item in batch:
@@ -593,14 +593,24 @@ def _flush_dp_batch(args, pipe, fn, params, mesh, batch, out_dir, img_size):
         tar = item["editing_prompt"].replace("[", "").replace("]", "")
         e = encode_prompts(pipe, ["", src, tar], args.tiny)
         us.append(e[0]); ss.append(e[1]); ts.append(e[2])
-    B = len(batch)
-    rngs = jax.random.split(jax.random.PRNGKey(0), B)
+    return (jnp.stack(x0s), jnp.stack(us), jnp.stack(ss), jnp.stack(ts))
+
+
+def _consume_dp_batch(args, pipe, fn, params, mesh, batch, prep, out_dir):
+    import jax
+    import numpy as np
+
+    from hedit_tpu.io_utils.images import to_pil
+    from hedit_tpu.parallel.mesh import shard_batch
+
+    x0s, us, ss, ts = prep
+    rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
     out = fn(
         params,
-        shard_batch(jnp.stack(x0s), mesh),
-        shard_batch(jnp.stack(us), mesh),
-        shard_batch(jnp.stack(ss), mesh),
-        shard_batch(jnp.stack(ts), mesh),
+        shard_batch(x0s, mesh),
+        shard_batch(us, mesh),
+        shard_batch(ss, mesh),
+        shard_batch(ts, mesh),
         shard_batch(rngs, mesh),
     )
     seen = set()

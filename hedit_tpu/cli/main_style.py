@@ -270,7 +270,9 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
     vp = replicate(vision_params, mesh)
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
 
-    def flush(batch):
+    def prepare(batch):
+        """Host-side batch prep (PIL + VAE/CLIP/Gram encode); runs on the
+        prefetch worker while the device executes the previous batch."""
         x0s, us, ss, ts, gs = [], [], [], [], []
         for item, _ in batch:
             img = jnp.asarray(load_image(item["image_path"], size=img_size))
@@ -282,14 +284,17 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
             tar = item["editing_prompt"].replace("[", "").replace("]", "")
             e = encode_prompts(pipe, ["", src, tar], args.tiny)
             us.append(e[0]); ss.append(e[1]); ts.append(e[2])
+        return (jnp.stack(x0s), jnp.stack(us), jnp.stack(ss), jnp.stack(ts),
+                gs)
+
+    def consume(batch, prep):
+        x0s, us, ss, ts, gs = prep
         rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
         shard = lambda x: shard_batch(x, mesh)  # noqa: E731
         controls = jax.tree_util.tree_map(
             shard, stack_pytrees([c for _, c in batch]))
-        out = fn(params, vae_p, vp, shard(jnp.stack(x0s)),
-                 shard(jnp.stack(us)), shard(jnp.stack(ss)),
-                 shard(jnp.stack(ts)), controls, shard(jnp.stack(gs)),
-                 shard(rngs))
+        out = fn(params, vae_p, vp, shard(x0s), shard(us), shard(ss),
+                 shard(ts), controls, shard(jnp.stack(gs)), shard(rngs))
         seen = set()
         for j, ((item, _), latent) in enumerate(zip(batch, out)):
             name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
@@ -306,26 +311,32 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
             print(f"saved {out_path}")
         return len(seen)
 
-    buckets, total = {}, 0
+    buckets, batches = {}, []
+    for item in samples:
+        name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
+        out_path = os.path.join(args.output_path,
+                                f"{args.mode}_style_{name}.png")
+        if resume_skip(args, out_path, name):
+            continue
+        src = item["original_prompt"].replace("[", "").replace("]", "")
+        tar = item["editing_prompt"].replace("[", "").replace("]", "")
+        ctrl = _dc.replace(build_control(src, tar),
+                           step=jnp.zeros((), jnp.int32))
+        sig = (ctrl.mode, ctrl.use_reweight)
+        buckets.setdefault(sig, []).append((item, ctrl))
+        if len(buckets[sig]) == B:
+            batches.append(buckets.pop(sig))
+    for sig, batch in buckets.items():
+        while len(batch) < B:  # pad the tail batch
+            batch.append(batch[-1])
+        batches.append(batch)
+
+    from hedit_tpu.io_utils.prefetch import prefetch_map
+
+    total = 0
     with jax.set_mesh(mesh):
-        for item in samples:
-            name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
-            out_path = os.path.join(args.output_path,
-                                    f"{args.mode}_style_{name}.png")
-            if resume_skip(args, out_path, name):
-                continue
-            src = item["original_prompt"].replace("[", "").replace("]", "")
-            tar = item["editing_prompt"].replace("[", "").replace("]", "")
-            ctrl = _dc.replace(build_control(src, tar),
-                               step=jnp.zeros((), jnp.int32))
-            sig = (ctrl.mode, ctrl.use_reweight)
-            buckets.setdefault(sig, []).append((item, ctrl))
-            if len(buckets[sig]) == B:
-                total += flush(buckets.pop(sig))
-        for sig, batch in buckets.items():
-            while len(batch) < B:  # pad the tail batch
-                batch.append(batch[-1])
-            total += flush(batch)
+        for batch, prep in prefetch_map(batches, prepare):
+            total += consume(batch, prep)
     print(f"done (data-parallel style): {total} samples -> {args.output_path}")
     return 0
 
