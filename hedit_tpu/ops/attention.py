@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from hedit_tpu.control.base import LayerTag, NoControl
 from hedit_tpu.ops.flash_attention import (
-    flash_attention_bounded,
+    flash_attention_diff,
     flash_kv_fits,
     reference_attention,
 )
@@ -62,8 +62,10 @@ def fused_attention(q, k, v, *, use_pallas: bool = True) -> jnp.ndarray:
             and flash_kv_fits(sk, q.shape[3], q.dtype.itemsize)):
         # bounded (max-free) kernel: 4.38 ms vs the exact-max v3's 5.15 at
         # the hot [4,32,4096,40] bf16 shape, sitting on the measured 4.34 ms
-        # dot->cast->dot MXU floor (scripts/flash_ablate.py).
-        return flash_attention_bounded(q, k, v)
+        # dot->cast->dot MXU floor (scripts/flash_ablate.py).  The _diff
+        # wrapper adds a VJP (through-UNet gradient modes: NMG, null-text,
+        # EF style) without touching the forward kernel.
+        return flash_attention_diff(q, k, v)
     return reference_attention(q, k, v)
 
 

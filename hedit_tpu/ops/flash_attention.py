@@ -444,3 +444,38 @@ def reference_attention(q, k, v):
     s = s / (d**0.5)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+# ------------------------------------------------------------ differentiable #
+# The flash kernels are forward-only Pallas programs; reverse-mode AD through
+# them fails ("Linearization failed").  Several editing modes differentiate
+# THROUGH the UNet — NMG's per-step L1 guidance
+# (``text-guided/inversion/p2p_baselines.py:255-264``), null-text's per-step
+# Adam on the uncond embedding (:195-215), and the EF style gradient at x_t
+# (``text-guided-n-style/inversion/ef.py:93-124``) — so the routed kernel
+# must carry a VJP.  This wrapper keeps the Pallas kernel on the forward pass
+# and recomputes the backward through the XLA reference attention (exact
+# softmax gradient; the bf16-vs-f32 forward rounding difference between the
+# two paths is below the editing tolerances, pinned by
+# test_flash_diff_grads_match_oracle).  A fused Pallas backward is the
+# planned upgrade; this makes the differentiated modes CORRECT on TPU first.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_diff(q, k, v, interpret=False):
+    """``flash_attention_bounded`` with a defined VJP (XLA-recompute
+    backward).  Same contract: q/k/v [B, H, S, D] -> [B, H, Sq, D]."""
+    return flash_attention_bounded(q, k, v, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, interpret):
+    return flash_attention_bounded(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _flash_diff_bwd(interpret, res, do):
+    q, k, v = res
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    return vjp(do)
+
+
+flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -89,6 +89,31 @@ def test_flash_attention_bounded_sharp_logits():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
 
 
+def test_flash_diff_grads_match_oracle():
+    """The differentiable flash wrapper (Pallas forward, XLA-recompute
+    backward) must produce the exact reference-attention gradients — the
+    through-UNet gradient modes (NMG, null-text, EF style) ride it on TPU."""
+    from hedit_tpu.ops.flash_attention import flash_attention_diff
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+    co = jnp.asarray(rng.randn(1, 2, 256, 40).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention_diff(q, k, v, True) * co)
+
+    def f_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * co)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_flash_attention_bf16_tolerance():
     """bf16 inputs run the QK/PV matmuls in bf16 (v3 design) — documents the
     expected drift vs the f32 oracle (bf16 has ~3 decimal digits)."""
