@@ -461,19 +461,295 @@ def reference_attention(q, k, v):
 # planned upgrade; this makes the differentiated modes CORRECT on TPU first.
 
 
+def _flash_bounded_lse_kernel(q_ref, k_ref, v_ref, ot_ref, lse_ref, *,
+                              sm_scale: float, sk: int, blk_k: int):
+    """``_flash_bounded_kernel`` + a second output: the per-query base-2
+    log-sum-exp (shift + log2(denom)), which the backward kernels use to
+    rebuild probabilities exactly (p = exp2(s2 - lse2))."""
+    q = q_ref[...] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+    blk_q, d = q.shape
+    num_k_blocks = k_ref.shape[0] // blk_k
+    mm_dtype = q.dtype
+    need_mask = k_ref.shape[0] != sk
+
+    def scores(ki):
+        k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :]
+        s_t = jax.lax.dot_general(
+            k_blk, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if need_mask:
+            row = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
+                   + ki * blk_k)
+            s_t = jnp.where(row < sk, s_t, NEG_INF)
+        return s_t
+
+    def pv(ki, p_t):
+        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :]
+        v_aug = jnp.concatenate(
+            [v_blk, jnp.ones((blk_k, 1), v_blk.dtype)], axis=1)
+        return jax.lax.dot_general(
+            v_aug, p_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    s0 = scores(0)
+    shift = jnp.max(s0, axis=0, keepdims=True) + 16.0
+    acc0 = pv(0, jnp.exp2(s0 - shift).astype(mm_dtype))
+
+    def body(ki, acc_t):
+        p_t = jnp.exp2(jnp.minimum(scores(ki) - shift, 100.0)).astype(mm_dtype)
+        return acc_t + pv(ki, p_t)
+
+    acc_t = jax.lax.fori_loop(1, num_k_blocks, body, acc0)
+    denom = jnp.maximum(acc_t[d:], 1.2e-38)
+    ot_ref[...] = (acc_t[:d] / denom).astype(ot_ref.dtype)
+    lse_ref[...] = shift + jnp.log2(denom)
+
+
+@functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
+def _flash_bounded_fwd_lse(q, k, v, *, blk_q: int = 2048, blk_k: int = 512,
+                           interpret: bool = False):
+    """Forward-for-VJP: ``flash_attention_bounded`` numerics + the base-2
+    LSE rows.  Returns (out [B,H,Sq,D], lse2 [B*H, 1, Sq] float32)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sm_scale = 1.0 / (d**0.5)
+    blk_q, blk_k = _shrink_blocks(d, q.dtype.itemsize, blk_q, blk_k)
+    blk_q = min(blk_q, max(128, sq))
+    blk_k = min(blk_k, max(128, sk))
+    qp = _pad_to(q, 2, blk_q)
+    kp = _pad_to(k, 2, blk_k)
+    vp = _pad_to(v, 2, blk_k)
+    sqp, skp = qp.shape[2], kp.shape[2]
+    qf = qp.reshape(b * h, sqp, d)
+    kf = kp.reshape(b * h, skp, d)
+    vf = vp.reshape(b * h, skp, d)
+    grid = (b * h, sqp // blk_q)
+    out_t, lse = pl.pallas_call(
+        functools.partial(_flash_bounded_lse_kernel, sm_scale=sm_scale,
+                          sk=sk, blk_k=blk_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, blk_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, d, blk_q), lambda bh, i: (bh, 0, i)),
+            pl.BlockSpec((None, 1, blk_q), lambda bh, i: (bh, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d, sqp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, sqp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = jnp.swapaxes(out_t.reshape(b, h, d, sqp), 2, 3)
+    out = out[:, :, :sq, :] if sqp != sq else out
+    return out, lse[:, :, :sq]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, sm_scale: float, sk: int, blk_k: int):
+    """One (bh, q-block) program: dq = (p * (dO V^T - delta)) @ K * scale.
+
+    K and V stay VMEM-resident (same residency pattern as the forward);
+    p is rebuilt from the saved LSE, so the loop body is three matmuls
+    (scores, dp, accumulation) with no softmax reductions."""
+    qs = q_ref[...] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+    do = do_ref[...]
+    lse = lse_ref[...]          # [1, blk_q] f32
+    delta = delta_ref[...]      # [1, blk_q] f32
+    blk_q, d = qs.shape
+    num_k_blocks = k_ref.shape[0] // blk_k
+    mm_dtype = qs.dtype
+    need_mask = k_ref.shape[0] != sk
+
+    def body(ki, acc):
+        k_blk = k_ref[pl.ds(ki * blk_k, blk_k), :]
+        v_blk = v_ref[pl.ds(ki * blk_k, blk_k), :]
+        s_t = jax.lax.dot_general(
+            k_blk, qs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, blk_q]
+        if need_mask:
+            row = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 0)
+                   + ki * blk_k)
+            s_t = jnp.where(row < sk, s_t, NEG_INF)
+        p_t = jnp.exp2(s_t - lse)                        # exact softmax rows
+        dp_t = jax.lax.dot_general(
+            v_blk, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, blk_q]
+        ds_t = (p_t * (dp_t - delta)).astype(mm_dtype)
+        return acc + jax.lax.dot_general(
+            ds_t, k_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, D]
+
+    acc = jax.lax.fori_loop(0, num_k_blocks, body,
+                            jnp.zeros((blk_q, d), jnp.float32))
+    dq_ref[...] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, sm_scale: float, sq: int,
+                          blk_q: int):
+    """One (bh, k-block) program: dv = p^T dO; dk = (p*(dp-delta)) @ Q*scale.
+
+    Q and dO stay VMEM-resident (the k-block analog of the forward's K/V
+    residency); the scale folds into the k-block so Q stays raw for the dk
+    accumulation."""
+    ks = k_ref[...] * jnp.asarray(sm_scale * LOG2E, k_ref.dtype)
+    v_blk = v_ref[...]
+    blk_k, d = ks.shape
+    num_q_blocks = q_ref.shape[0] // blk_q
+    mm_dtype = ks.dtype
+    need_mask = q_ref.shape[0] != sq
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[pl.ds(qi * blk_q, blk_q), :]       # raw
+        do_blk = do_ref[pl.ds(qi * blk_q, blk_q), :]
+        lse = lse_ref[:, pl.ds(qi * blk_q, blk_q)]       # [1, blk_q]
+        delta = delta_ref[:, pl.ds(qi * blk_q, blk_q)]
+        s_t = jax.lax.dot_general(
+            ks, q_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, blk_q]
+        if need_mask:
+            col = (jax.lax.broadcasted_iota(jnp.int32, (blk_k, blk_q), 1)
+                   + qi * blk_q)
+            s_t = jnp.where(col < sq, s_t, NEG_INF)      # padded queries: p=0
+        p_t = jnp.exp2(s_t - lse)
+        p_mm = p_t.astype(mm_dtype)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_mm, do_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, D]
+        dp_t = jax.lax.dot_general(
+            v_blk, do_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, blk_q]
+        ds_t = (p_t * (dp_t - delta)).astype(mm_dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_t, q_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, D]
+        return dk_acc, dv_acc
+
+    zero = jnp.zeros((blk_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q_blocks, body, (zero, zero))
+    dk_ref[...] = (dk_acc * sm_scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv_acc.astype(dv_ref.dtype)
+
+
+# Backward tile sizing: the bwd loop keeps THREE f32 [blk_k, blk_q] tiles
+# live (scores, p, dp) vs the forward's two, so the q-block halves.
+_BWD_BLK_Q = 512
+_BWD_BLK_K = 512
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_bwd_pallas(q, k, v, out, lse, do, *, interpret: bool = False):
+    """Pallas flash backward: (dq, dk, dv) from the saved forward LSE."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sm_scale = 1.0 / (d**0.5)
+    blk_q = min(_BWD_BLK_Q if d <= 128 else 256, max(128, sq))
+    blk_k = min(_BWD_BLK_K if d <= 128 else 256, max(128, sk))
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(b * h, 1, sq)
+    qp = _pad_to(q, 2, blk_q)
+    dop = _pad_to(do, 2, blk_q)
+    kp = _pad_to(k, 2, blk_k)
+    vp = _pad_to(v, 2, blk_k)
+    sqp, skp = qp.shape[2], kp.shape[2]
+    qf = qp.reshape(b * h, sqp, d)
+    dof = dop.reshape(b * h, sqp, d)
+    kf = kp.reshape(b * h, skp, d)
+    vf = vp.reshape(b * h, skp, d)
+    lsep = _pad_to(lse, 2, blk_q)
+    deltap = _pad_to(delta, 2, blk_q)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, sm_scale=sm_scale, sk=sk,
+                          blk_k=blk_k),
+        grid=(b * h, sqp // blk_q),
+        in_specs=[
+            pl.BlockSpec((None, blk_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, skp, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, blk_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((None, 1, blk_q), lambda bh, i: (bh, 0, i)),
+            pl.BlockSpec((None, 1, blk_q), lambda bh, i: (bh, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((None, blk_q, d), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, sm_scale=sm_scale, sq=sq,
+                          blk_q=blk_q),
+        grid=(b * h, skp // blk_k),
+        in_specs=[
+            pl.BlockSpec((None, sqp, d), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((None, blk_k, d), lambda bh, j: (bh, j, 0)),
+            pl.BlockSpec((None, blk_k, d), lambda bh, j: (bh, j, 0)),
+            pl.BlockSpec((None, sqp, d), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((None, 1, sqp), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((None, 1, sqp), lambda bh, j: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, blk_k, d), lambda bh, j: (bh, j, 0)),
+            pl.BlockSpec((None, blk_k, d), lambda bh, j: (bh, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skp, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skp, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsep, deltap)
+
+    dq = dq.reshape(b, h, sqp, d)[:, :, :sq, :]
+    dk = dk.reshape(b, h, skp, d)[:, :, :sk, :]
+    dv = dv.reshape(b, h, skp, d)[:, :, :sk, :]
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_diff(q, k, v, interpret=False):
-    """``flash_attention_bounded`` with a defined VJP (XLA-recompute
-    backward).  Same contract: q/k/v [B, H, S, D] -> [B, H, Sq, D]."""
+    """``flash_attention_bounded`` with a defined VJP.
+
+    Forward: the bounded Pallas kernel.  Backward: fused Pallas dq and
+    dk/dv kernels rebuilding probabilities from the saved LSE (exact
+    softmax gradient; the forward's 116-sigma saturation clamp is ignored,
+    like every flash backward).  Through-UNet gradient modes ride this on
+    TPU: NMG (``p2p_baselines.py:255-264``), null-text (:195-215), EF style
+    (``text-guided-n-style/inversion/ef.py:93-124``).  Falls back to an
+    XLA-recompute backward when Q/dO residency exceeds the kernels' scoped
+    VMEM budget.  Same contract: q/k/v [B, H, S, D] -> [B, H, Sq, D]."""
     return flash_attention_bounded(q, k, v, interpret=interpret)
 
 
 def _flash_diff_fwd(q, k, v, interpret):
-    return flash_attention_bounded(q, k, v, interpret=interpret), (q, k, v)
+    out, lse = _flash_bounded_fwd_lse(q, k, v, interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+# Pallas-backward routing threshold (device-plane, [2,8,S,D] on v5e,
+# scripts/flash_bwd_profile.py): at S=4096 the fused backward wins big
+# (bf16 3.63 vs 9.80 ms XLA, f32 3.88 vs 13.45); at S=1024 XLA's fused
+# recompute wins in bf16 (0.13 vs 0.28) and ties in f32 — the kernels'
+# grid/copy overheads dominate at two k-blocks.
+_BWD_MIN_SEQ = 2048
 
 
 def _flash_diff_bwd(interpret, res, do):
-    q, k, v = res
+    q, k, v, out, lse = res
+    # dkv keeps Q and dO resident; dq keeps K and V resident.  Both must
+    # fit the same scoped-VMEM residency budget as the forward.
+    fits = (flash_kv_fits(q.shape[2], q.shape[3], q.dtype.itemsize)
+            and flash_kv_fits(k.shape[2], k.shape[3], k.dtype.itemsize))
+    big = min(q.shape[2], k.shape[2]) >= _BWD_MIN_SEQ
+    if fits and (big or interpret):  # interpret: CPU tests drive the kernels
+        return _flash_bwd_pallas(q, k, v, out, lse, do, interpret=interpret)
     _, vjp = jax.vjp(reference_attention, q, k, v)
     return vjp(do)
 

@@ -114,6 +114,58 @@ def test_flash_diff_grads_match_oracle():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("sq,sk,d", [
+    (300, 300, 40),    # unaligned both axes: padded-row/col masking in bwd
+    (256, 77, 64),     # cross-attention shape (sq != sk, masked tail keys)
+    (140, 260, 40),    # unaligned, sq < sk
+])
+def test_flash_diff_grads_oracle_padded_shapes(sq, sk, d):
+    """The Pallas backward's padding masks: padded KEY rows must not leak
+    into dq, padded QUERY columns must not leak into dk/dv."""
+    from hedit_tpu.ops.flash_attention import flash_attention_diff
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, sq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, sk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, sk, d).astype(np.float32))
+    co = jnp.asarray(rng.randn(1, 2, sq, d).astype(np.float32))
+
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention_diff(q, k, v, True) * co), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(
+        reference_attention(q, k, v) * co), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=3e-5)
+
+
+def test_flash_diff_grads_bf16():
+    """bf16 grads: the backward's score/dp/accumulation matmuls run in the
+    input dtype like the forward — drift vs the f32 oracle is bf16-rounding
+    sized, not structural."""
+    from hedit_tpu.ops.flash_attention import flash_attention_diff
+
+    rng = np.random.RandomState(3)
+    qf = rng.randn(1, 2, 256, 40).astype(np.float32) * 0.5
+    kf = rng.randn(1, 2, 256, 40).astype(np.float32) * 0.5
+    vf = rng.randn(1, 2, 256, 40).astype(np.float32)
+    cof = rng.randn(1, 2, 256, 40).astype(np.float32)
+    q, k, v, co = (jnp.asarray(x, jnp.bfloat16) for x in (qf, kf, vf, cof))
+
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        (flash_attention_diff(q, k, v, True)
+         * co).astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(
+        reference_attention(q, k, v) * jnp.asarray(cof)),
+        argnums=(0, 1, 2))(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf))
+    for a, b in zip(g1, g2):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b)
+        denom = np.abs(b32).max() + 1e-6
+        assert np.abs(a32 - b32).max() / denom < 0.05, \
+            np.abs(a32 - b32).max() / denom
+
+
 def test_flash_attention_bf16_tolerance():
     """bf16 inputs run the QK/PV matmuls in bf16 (v3 design) — documents the
     expected drift vs the f32 oracle (bf16 has ~3 decimal digits)."""
