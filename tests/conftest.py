@@ -38,6 +38,22 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # recompile in every module.  The disk cache survives clear_caches() and
 # pytest re-runs; min_compile_time 0.5s keeps tiny graphs out of it.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+# Namespace by the host CPU feature set: XLA:CPU AOT cache entries do not
+# key on machine features, and loading an entry compiled on a different CPU
+# generation SIGILLs the process mid-suite (seen when a fresh VM read the
+# previous session's cache).
+try:
+    import hashlib
+
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _cache_dir = os.path.join(
+                    _cache_dir,
+                    "cpu-" + hashlib.sha1(_line.encode()).hexdigest()[:8])
+                break
+except OSError:
+    pass
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
