@@ -14,8 +14,9 @@ Parity: ``text-guided/inversion/pnp_baselines.py`` —
   source prompt embedding.
 
 All loops compile to a single lax.scan; the per-step Adam of null-text runs
-as a fixed-length fori loop with a stop flag reproducing the early-stopping
-semantics.
+as a lax.while_loop with the reference's post-update break predicate, so a
+converged step skips the remaining UNet fwd+bwd passes instead of masking
+them out.
 """
 
 from __future__ import annotations
@@ -188,8 +189,20 @@ def null_text_pnp(
         lr = lr_base * (1.0 - i.astype(jnp.float32) / 100.0)
         thresh = epsilon + i.astype(jnp.float32) * 2e-5
 
-        def adam_step(j, state):
-            u, m, v, stopped = state
+        # The reference applies the Adam update, THEN breaks when that
+        # iteration's loss is under the threshold
+        # (text-guided/inversion/pnp_baselines.py:195-215).  A while_loop
+        # reproduces that exactly — the stopping iteration's update lands,
+        # nothing runs after — and, unlike a masked fixed-length fori, skips
+        # the remaining UNet fwd+bwd passes once converged (the dominant
+        # per-step cost: each Adam iteration is a full UNet VJP).
+        def adam_cond(state):
+            j, _, _, _, stopped = state
+            return jnp.logical_and(j < optimization_steps,
+                                   jnp.logical_not(stopped))
+
+        def adam_step(state):
+            j, u, m, v, _ = state
 
             def loss_fn(uu):
                 eps_u = eps_fn(x_orig, jnp.broadcast_to(t, (1,)), uu, NO_CONTROL)
@@ -204,15 +217,13 @@ def null_text_pnp(
             mhat = m2 / (1 - b1**jf)
             vhat = v2 / (1 - b2**jf)
             u2 = u - lr * mhat / (jnp.sqrt(vhat) + adam_eps)
-            new_stopped = jnp.logical_or(stopped, loss < thresh)
-            u_out = jnp.where(stopped, u, u2)
-            return (u_out, jnp.where(stopped, m, m2), jnp.where(stopped, v, v2),
-                    new_stopped)
+            return (jf, u2, m2, v2, loss < thresh)
 
         u0 = uncond_ctx
-        u_opt, _, _, _ = jax.lax.fori_loop(
-            0, optimization_steps, adam_step,
-            (u0, jnp.zeros_like(u0), jnp.zeros_like(u0), jnp.array(False)),
+        _, u_opt, _, _, _ = jax.lax.while_loop(
+            adam_cond, adam_step,
+            (jnp.array(0, jnp.int32), u0, jnp.zeros_like(u0),
+             jnp.zeros_like(u0), jnp.array(False)),
         )
 
         pair = jnp.concatenate([x_orig, x_edit], axis=0)

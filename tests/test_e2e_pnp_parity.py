@@ -272,7 +272,8 @@ def test_nmg_pnp_matches_reference(pnp_setup):
 @pytest.mark.parametrize("epsilon,opt_steps,mean_tol,max_tol", [
     # STRUCTURAL case: optimization_steps=0 means both sides run the outer
     # loop with the raw uncond embedding (the reference's ``range(0)`` body
-    # never executes; our fori_loop(0, 0) returns its init) — identical
+    # never executes; our while_loop cond is False at j=0, returning its
+    # init) — identical
     # inputs per step, so the pair step, PnP gating and carries are certified
     # at the suite's standard cross-framework tolerance.
     (1e-5, 0, 1e-5, 2e-3),
@@ -290,7 +291,8 @@ def test_nmg_pnp_matches_reference(pnp_setup):
     # pattern of sub-noise gradients differs.  A structural bug (wrong rows,
     # wrong gate, wrong lr schedule) shifts the mean by >0.1, so the loose
     # bound retains its power.  epsilon=1.0 stops after ONE update per outer
-    # step (update applied before the break, pnp_baselines.py:210-215);
+    # step (update applied before the break — the while_loop exits with the
+    # stopping iteration's update landed, pnp_baselines.py adam_step);
     # epsilon=1e-5 runs the full 10-update chain.
     (1.0, 10, 2e-2, 0.25),
     (1e-5, 10, 2e-2, 0.25),
