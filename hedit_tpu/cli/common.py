@@ -167,7 +167,10 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
 
     def consume(batch, prep):
         x0s, us, ss, ts = prep
-        rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
+        # Per-sample key == the serial path's key (one fixed key per sample,
+        # NOT a batch-position split): outputs are identical to the serial
+        # sweep and invariant to how --resume re-batches the remaining work.
+        rngs = jnp.broadcast_to(jax.random.PRNGKey(0), (len(batch), 2))
         shard = lambda x: shard_batch(x, mesh)  # noqa: E731
         out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
                  shard(rngs))

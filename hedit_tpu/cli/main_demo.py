@@ -30,8 +30,12 @@ def main(argv=None):
     # (reference: ``main_demo.py:98`` ``dataset_from_yaml(data_path +
     # "/demo.yaml")``), with a dirname(--image) fallback for ad-hoc use.
     yaml_path = args.mapping_file or os.path.join(args.data_path, "demo.yaml")
+    join_base = args.data_path
     if not os.path.exists(yaml_path) and args.image:
+        # ad-hoc fallback: the YAML sits next to --image, so its image
+        # entries must be joined against THAT directory, not --data_path
         yaml_path = os.path.join(os.path.dirname(args.image), "demo.yaml")
+        join_base = os.path.dirname(args.image)
     items = dataset_from_yaml(yaml_path)
     out_dir = os.path.join(args.output_path, result_dir_name(args.mode + "_demo", args))
     os.makedirs(out_dir, exist_ok=True)
@@ -47,11 +51,12 @@ def main(argv=None):
         # The reference CONCATENATES ``data_path + item['image']``
         # (``main_demo.py:131``; demo.yaml stores ``image: /lizard.jpg`` with
         # a leading slash, so os.path.join would wrongly treat it as
-        # absolute).  Reproduce the concat; an existing absolute path is
-        # honoured as-is for ad-hoc YAMLs.
+        # absolute).  Reproduce the concat against the directory the YAML
+        # was actually found in; an existing path is honoured as-is for
+        # ad-hoc YAMLs (absolute or cwd-relative).
         image = item["image"]
-        if not (os.path.isabs(image) and os.path.exists(image)):
-            image = args.data_path + image
+        if not os.path.exists(image):
+            image = join_base + image
         samples.append((f"demo_{i}", {
             "image_path": image,
             "original_prompt": src,

@@ -384,16 +384,9 @@ def _sample_out_path(out_dir, item):
 
 
 def _dp_mesh(B: int):
-    """A data-axis mesh whose size divides the batch: gcd(B, n_devices)
-    devices (all of them when B is a multiple — the production case; a
-    clean subset otherwise, e.g. --data_parallel 2 on an 8-device host)."""
-    import math
+    from hedit_tpu.parallel.mesh import dp_mesh
 
-    import jax
-
-    from hedit_tpu.parallel.mesh import make_mesh
-
-    return make_mesh(math.gcd(B, len(jax.devices())), model_parallel=1)
+    return dp_mesh(B)
 
 
 def run_data_parallel(args, pipe, out_dir, samples=None):
@@ -492,7 +485,7 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
     )
     flagship = (
         args.mode in ("h_edit_R_p2p", "h_edit_D_p2p")
-        and args.implicit and args.cfg_src == 1.0 and eta > 0
+        and args.implicit and args.cfg_src == 1.0 and not is_ddim
         and args.optimization_steps == 1
     )
     if flagship:
@@ -559,13 +552,16 @@ def _consume_dp_p2p_batch(args, pipe, fn, params, mesh, batch, prep, out_dir,
     shard = lambda x: shard_batch(x, mesh)  # noqa: E731
     controls = jax.tree_util.tree_map(shard, controls)
     blends = jax.tree_util.tree_map(shard, blends)
+    # Per-sample key == the serial path's key (run_sample, line ~272): one
+    # fixed key per sample, NOT a batch-position split — outputs match the
+    # serial sweep and are invariant to how --resume re-batches the work.
+    rngs = jnp.broadcast_to(jax.random.PRNGKey(args.device_num), (B, 2))
     if flagship:
         ctx4s = shard(jnp.stack([us, ss, ss, ts], axis=1))  # [B, 4, 77, D]
         out = fn(params, shard(x0s[:, None]), ctx4s, controls,
-                 blends, jax.random.PRNGKey(0))
+                 blends, shard(rngs))
         out = out[:, 0]
     else:
-        rngs = jax.random.split(jax.random.PRNGKey(0), B)
         out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
                  shard(rngs), controls, blends)
     seen = set()
@@ -604,7 +600,9 @@ def _consume_dp_batch(args, pipe, fn, params, mesh, batch, prep, out_dir):
     from hedit_tpu.parallel.mesh import shard_batch
 
     x0s, us, ss, ts = prep
-    rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
+    # Serial-path key per sample (resume-invariant; see run_data_parallel_p2p).
+    rngs = jnp.broadcast_to(jax.random.PRNGKey(args.device_num),
+                            (len(batch), 2))
     out = fn(
         params,
         shard_batch(x0s, mesh),

@@ -146,6 +146,7 @@ def main(argv=None):
             args, pipe, samples, vision, vision_params, vcfg, vision_apply,
             build_control)
 
+    _runner_cache = {"style": None}  # built on first hostloop sample
     for item in samples:
         name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
         out = os.path.join(args.output_path, f"{args.mode}_style_{name}.png")
@@ -188,22 +189,26 @@ def main(argv=None):
             # remote-compile path: per-step executables, none of which
             # holds UNet+VAE+CLIP VJPs in one graph (edit/style.py:
             # make_style_runner; scan-equivalence pinned by
-            # tests/test_style_and_pnp_baselines.py)
+            # tests/test_style_and_pnp_baselines.py).  The runner is built
+            # ONCE per sweep (ref_gram is a jit argument, not a baked
+            # constant) so samples after the first reuse its executables.
             import dataclasses as _dc
 
-            from hedit_tpu.edit.style import make_style_runner
+            if _runner_cache.get("style") is None:
+                from hedit_tpu.edit.style import make_style_runner
 
-            runner = make_style_runner(
-                pipe.unet, pipe.vae_decode, vision_apply, ref_g, sched, cfg,
-                after_skip_steps=N,
-                weight_edit_clip=args.weight_edit_clip,
-                clip_size=vcfg.input_resolution,
-            )
+                _runner_cache["style"] = make_style_runner(
+                    pipe.unet, pipe.vae_decode, vision_apply, sched, cfg,
+                    after_skip_steps=N,
+                    weight_edit_clip=args.weight_edit_clip,
+                    clip_size=vcfg.input_resolution,
+                )
             ctx4c = jnp.concatenate([uncond, src_ctx, src_ctx, tar_ctx],
                                     axis=0)
             ctrl2 = _dc.replace(control, cond_start=2)
-            edited = runner(pipe.unet_params, w0, ctx4c, ctrl2,
-                            jax.random.PRNGKey(0))
+            edited = _runner_cache["style"](pipe.unet_params, w0, ctx4c,
+                                            ctrl2, jax.random.PRNGKey(0),
+                                            ref_g)
         elif args.mode == "h_edit_R_p2p":
             style_fn = make_style_step(
                 pipe.vae_decode, vision_apply, ref_g, sched,
@@ -289,7 +294,8 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
 
     def consume(batch, prep):
         x0s, us, ss, ts, gs = prep
-        rngs = jax.random.split(jax.random.PRNGKey(0), len(batch))
+        # Serial-path key per sample (resume-invariant; see cli/common.py).
+        rngs = jnp.broadcast_to(jax.random.PRNGKey(0), (len(batch), 2))
         shard = lambda x: shard_batch(x, mesh)  # noqa: E731
         controls = jax.tree_util.tree_map(
             shard, stack_pytrees([c for _, c in batch]))

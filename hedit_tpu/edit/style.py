@@ -149,7 +149,6 @@ def make_style_runner(
     unet,
     vae_decode_fn,
     vision_apply,
-    ref_gram,
     schedule: Schedule,
     cfg: HEditConfig,
     *,
@@ -178,8 +177,12 @@ def make_style_runner(
     equivalence is pinned by ``tests/test_style_and_pnp_baselines.py``.
 
     Returns ``run(unet_params, vae_params_closure..., x0 latent [1,H,W,C],
-    ctx4c [4,77,D], control, rng) -> edited [1,H,W,C]``.  Style policy
-    disables LocalBlend (``main_edit.py:178-180``), so no store carry.
+    ctx4c [4,77,D], control, rng, ref_gram) -> edited [1,H,W,C]``.  Style
+    policy disables LocalBlend (``main_edit.py:178-180``), so no store carry.
+    ``ref_gram`` (the style image's Gram pyramid) is a jit ARGUMENT, not a
+    constructor closure: build the runner ONCE per sweep and reuse its three
+    executables across samples — baking each sample's Gram into the HLO as a
+    constant would force a fresh style-VJP compile per style image.
     """
     assert cfg.implicit and cfg.cfg_src == 1.0 and cfg.eta > 0 and \
         cfg.optimization_steps == 1, "style runner implements the script config"
@@ -209,7 +212,7 @@ def make_style_runner(
         correction = eps_ta - eps_se
         return x_opt + coeff * correction, eps_ta, correction, eps4c[2:3]
 
-    def style_step(x_opt, eps_tar, tt, correction):
+    def style_step(x_opt, eps_tar, tt, correction, ref_gram):
         eps = jax.lax.stop_gradient(eps_tar)
 
         def obj(x):
@@ -229,7 +232,7 @@ def make_style_runner(
     ts_dev = schedule.timesteps[-S:]
     tts_dev = jnp.concatenate([ts_dev[1:], jnp.zeros((1,), ts_dev.dtype)])
 
-    def run(params, x0, ctx4c, control, rng):
+    def run(params, x0, ctx4c, control, rng, ref_gram):
         xts, _ = sample_xts_from_x0(schedule, x0, rng)  # [S+1, H, W, C]
         src_ctx = ctx4c[1:2]
         x_edit = xts[S][None]
@@ -245,7 +248,7 @@ def make_style_runner(
                 ts_dev[i], tts_dev[i], jnp.array(i, jnp.int32), control,
                 ctx4c,
             )
-            x_edit = style_jit(x_opt, eps_tar, tts_dev[i], corr)
+            x_edit = style_jit(x_opt, eps_tar, tts_dev[i], corr, ref_gram)
         return x_edit
 
     run.base_jit, run.step_jit, run.style_jit = base_jit, step_jit, style_jit

@@ -31,11 +31,12 @@ class VAEConfig:
     norm_num_groups: int = 32
     sample_size: int = 512
     dtype: jnp.dtype = jnp.float32
-    # route the mid-block attention to the Pallas flash kernel.  The kernel
-    # has no VJP: paths that DIFFERENTIATE through decode (the style reward,
-    # SURVEY.md 3.4) must build the VAE with use_pallas=False (in f32 the
-    # [4096, 512] K/V residency fails flash_kv_fits and XLA is used anyway;
-    # in bf16 it fits, so the flag is what keeps the decode differentiable).
+    # route the mid-block attention to the Pallas flash kernel.  Since the
+    # routed kernel gained a VJP (ops/flash_attention.py: Pallas/XLA
+    # backward), differentiated decodes (the style reward, SURVEY.md 3.4)
+    # work either way — the flag is now purely a measured perf choice, not a
+    # correctness gate.  (In f32 the [4096, 512] K/V residency fails
+    # flash_kv_fits and XLA is used regardless.)
     use_pallas: bool = True
 
     @staticmethod

@@ -287,7 +287,10 @@ def make_flagship_runner(
         — writes the optimized HLO of the per-step executable (profiling
         cross-reference; see PERF_NOTES)."""
         B = x0s.shape[0]
-        keys = jax.random.split(rng, B)
+        # rng: per-sample keys [B, 2] (pass the SAME serial-path key per row
+        # for resume-invariant, serial-identical sweeps — cli/main_p2p.py),
+        # or a single key to split by batch position (legacy bench form).
+        keys = rng if rng.ndim == 2 else jax.random.split(rng, B)
         xts = sample_v(x0s, keys)  # [B, S+1, H, W, C]
         src_ctx = ctx4s[:, 1:2]
         x_edit = xts[:, S][:, None]

@@ -137,9 +137,10 @@ def bench_style():
     params = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
 
-    # bf16 VAE for the style VJP: use_pallas must be OFF — the flash kernel
-    # has no VJP, and at bf16 the [4096, 512] mid-block K/V fits its budget
-    # (f32 never routes there, which is why the f32 baseline needs no flag)
+    # bf16 VAE for the style VJP with use_pallas OFF: the routed kernel now
+    # HAS a VJP (ops/flash_attention.py), so this is a perf choice pinned to
+    # the measured round-3 numbers, not a correctness requirement (f32 never
+    # routes to the kernel at [4096, 512] K/V, so f32 needs no flag)
     vcfg_vae = VAEConfig.sd()
     if os.environ.get("HEDIT_STYLE_VAE_DTYPE", "bf16") == "bf16":
         vcfg_vae = dataclasses.replace(vcfg_vae, dtype=jnp.bfloat16,
@@ -181,7 +182,7 @@ def bench_style():
         replace_mapper=jnp.eye(77), equalizer=jnp.ones(77),
         self_replace_until=int(0.35 * S), blend_px=256, cond_start=2,
     )
-    run = make_style_runner(unet, vae_dec, vapply, ref_g, sched, cfg,
+    run = make_style_runner(unet, vae_dec, vapply, sched, cfg,
                             after_skip_steps=S, weight_edit_clip=1.5)
     x0 = jnp.asarray(rs.randn(1, 64, 64, 4).astype(np.float32) * 0.2)
     uncond, src, tar = (
@@ -190,20 +191,31 @@ def bench_style():
     ctx4c = jnp.concatenate([uncond, src, src, tar], axis=0)
 
     t0 = time.perf_counter()
-    out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(0))
+    out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(0), ref_g)
     out.block_until_ready()
     print(f"# style edit cold (compile+run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(i + 1))
+        out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(i + 1), ref_g)
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     print(f"# style timed: {[round(t, 2) for t in times]}", file=sys.stderr)
+    # A DIFFERENT style image through the same runner: ref_gram is a jit
+    # argument, so the second style must reuse the executables (no recompile)
+    ref_g2 = reference_gram(
+        vapply, jnp.asarray(rs.rand(224, 224, 3).astype(np.float32)))
+    t0 = time.perf_counter()
+    out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(9), ref_g2)
+    out.block_until_ready()
+    t_second = time.perf_counter() - t0
+    print(f"# style second-gram (executable reuse): {t_second:.2f}s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "style_50step_hedit_R_p2p_clip_gram_wall_s_per_image",
         "value": round(min(times), 3), "unit": "s/image",
+        "second_style_image_s": round(t_second, 3),
     }))
 
 

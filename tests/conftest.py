@@ -37,23 +37,13 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # below (segfault workaround) would otherwise force identical graphs to
 # recompile in every module.  The disk cache survives clear_caches() and
 # pytest re-runs; min_compile_time 0.5s keeps tiny graphs out of it.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
-# Namespace by the host CPU feature set: XLA:CPU AOT cache entries do not
-# key on machine features, and loading an entry compiled on a different CPU
-# generation SIGILLs the process mid-suite (seen when a fresh VM read the
-# previous session's cache).
-try:
-    import hashlib
+# Namespaced by the host CPU feature set (see utils/hostcache.py: XLA:CPU
+# AOT entries do not key on machine features; a cross-generation load can
+# SIGILL mid-suite).
+from hedit_tpu.utils.hostcache import cpu_cache_subdir  # noqa: E402
 
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith("flags"):
-                _cache_dir = os.path.join(
-                    _cache_dir,
-                    "cpu-" + hashlib.sha1(_line.encode()).hexdigest()[:8])
-                break
-except OSError:
-    pass
+_cache_dir = cpu_cache_subdir(
+    os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

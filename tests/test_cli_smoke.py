@@ -276,3 +276,116 @@ def test_demo_cli_data_parallel(tmp_path):
         "--output_path", str(tmp_path),
     ] + TINY)
     assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_demo_cli_image_fallback_joins_yaml_dir(tmp_path):
+    """Ad-hoc demo use: --image <dir>/lizard.jpg with NO --data_path/--mapping
+    must find demo.yaml next to the image AND join its (slash-prefixed) image
+    entries against that directory, not the default --data_path."""
+    from hedit_tpu.cli.main_demo import main
+
+    rc = main([
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--image", os.path.join(TG_DEMO, "lizard.jpg"),
+        "--output_path", str(tmp_path),
+    ] + TINY)
+    assert rc == 0 and len(_pngs(tmp_path)) >= 1
+
+
+@needs_reference
+def test_p2p_dp_ddim_mode_avoids_flagship_runner(tmp_path):
+    """h_edit_D_p2p (DDIM inversion) under --data_parallel must route to the
+    general batched editor (edit_batch_p2p_fn runs invert_ddim), NEVER the
+    flagship runner, whose trajectory is random DDPM q-sampling.  Regression:
+    the eta->1.0 rewrite for the DDPM coefficient tables once made the
+    flagship predicate's eta>0 term vacuously true for DDIM."""
+    import json
+    import shutil
+
+    import hedit_tpu.parallel.sweep as sweep
+    from hedit_tpu.cli.main_p2p import main
+
+    imgs = tmp_path / "imgs"
+    (imgs / "annotation_images").mkdir(parents=True)
+    for i in range(2):
+        shutil.copy(os.path.join(TG_DEMO, "lizard.jpg"),
+                    imgs / "annotation_images" / f"im{i}.jpg")
+    mapping = tmp_path / "mapping.json"
+    json.dump({
+        f"k{i}": {
+            "image_path": f"im{i}.jpg",
+            "original_prompt": "a green lizard",
+            "editing_prompt": "a brown lizard",
+            "blended_word": "",
+            "editing_type_id": "0",
+        } for i in range(2)
+    }, mapping.open("w"))
+
+    real = sweep.make_flagship_runner
+
+    def _trap(*a, **k):
+        raise AssertionError("flagship runner must not serve DDIM modes")
+
+    sweep.make_flagship_runner = _trap
+    try:
+        rc = main([
+            "--mode", "h_edit_D_p2p", "--implicit", "--eta", "0",
+            "--num_diffusion_steps", "4",
+            "--data_path", str(imgs), "--mapping_file", str(mapping),
+            "--data_parallel", "2",
+            "--output_path", str(tmp_path / "out"),
+        ] + TINY)
+    finally:
+        sweep.make_flagship_runner = real
+    assert rc == 0 and len(_pngs(tmp_path / "out")) == 2
+
+
+@needs_reference
+def test_p2p_dp_resume_rebatch_reproduces_outputs(tmp_path):
+    """Per-sample outputs must be invariant to batch composition: after a
+    partial sweep, --resume re-batches the remaining samples at new batch
+    indices, and the recomputed files must be byte-identical to an
+    uninterrupted run's.  Regression: per-row keys were once derived from
+    batch position (split(key, B)[row]) instead of the serial path's
+    fixed per-sample key."""
+    import json
+    import shutil
+
+    from hedit_tpu.cli.main_p2p import main
+
+    imgs = tmp_path / "imgs"
+    (imgs / "annotation_images").mkdir(parents=True)
+    for i in range(3):
+        shutil.copy(os.path.join(TG_DEMO, "lizard.jpg"),
+                    imgs / "annotation_images" / f"im{i}.jpg")
+    mapping = tmp_path / "mapping.json"
+    json.dump({
+        f"k{i}": {
+            "image_path": f"im{i}.jpg",
+            # distinct prompts so rows are NOT interchangeable
+            "original_prompt": f"a green lizard number {i}",
+            "editing_prompt": f"a brown lizard number {i}",
+            "blended_word": "",
+            "editing_type_id": "0",
+        } for i in range(3)
+    }, mapping.open("w"))
+    out_root = tmp_path / "out"
+    argv = [
+        "--mode", "h_edit_R_p2p", "--implicit", "--num_diffusion_steps", "4",
+        "--data_path", str(imgs), "--mapping_file", str(mapping),
+        "--data_parallel", "2",
+        "--output_path", str(out_root),
+    ] + TINY
+    assert main(argv) == 0
+    pngs = _pngs(out_root)
+    assert len(pngs) == 3
+    golden = {p: open(p, "rb").read() for p in pngs}
+
+    # drop im1 and im2: the uninterrupted run batched [im0, im1] + [im2, pad];
+    # the resume run batches [im1, im2] — every survivor at a new batch index
+    os.remove(pngs[1])
+    os.remove(pngs[2])
+    assert main(argv + ["--resume"]) == 0
+    for p in pngs:
+        assert open(p, "rb").read() == golden[p], p

@@ -207,12 +207,12 @@ def test_style_runner_matches_scan(setup):
     )
     cfg = HEditConfig(cfg_src=1.0, cfg_src_edit=2.0, cfg_tar=4.0, implicit=True)
     run = make_style_runner(
-        pipe.unet, vae_dec, vapply, ref_g, pipe.schedule, cfg,
+        pipe.unet, vae_dec, vapply, pipe.schedule, cfg,
         after_skip_steps=S, weight_edit_clip=0.5, clip_size=32,
     )
     ctx4c = jnp.concatenate([uncond, src, src, tar], axis=0)
     rng = jax.random.PRNGKey(7)
-    out = run(pipe.unet_params, x0, ctx4c, ctrl, rng)
+    out = run(pipe.unet_params, x0, ctx4c, ctrl, rng, ref_g)
 
     # scan form on the identical trajectory (derive_zs, indexed source)
     xts, _ = sample_xts_from_x0(pipe.schedule, x0, rng)
