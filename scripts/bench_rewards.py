@@ -113,6 +113,58 @@ def bench_face():
     }))
 
 
+def bench_face_dp():
+    """Batched face throughput through the LIBRARY data-parallel path
+    (``parallel/sweep.py:face_batch_fn`` — the same fn `hedit-face
+    --data_parallel` jits), single chip: the serial bench measures latency
+    (4.83 s/image round 3); this measures images/s when B pairs ride one
+    jit, the production shape for a dataset sweep."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hedit_tpu.parallel.sweep import face_batch_fn
+    from hedit_tpu.pipelines.face import create_face_pipeline
+
+    S = 100
+    B = int(os.environ.get("HEDIT_FACE_DP_BATCH", "4"))
+    dt = jnp.bfloat16 if os.environ.get("HEDIT_FACE_DTYPE", "bf16") == "bf16" \
+        else None
+    pipe = create_face_pipeline(num_inference_steps=S, seed=0, dtype=dt)
+    rs = np.random.RandomState(0)
+    src_imgs = jnp.asarray(rs.rand(B, 256, 256, 3).astype(np.float32) * 2 - 1)
+    ref_imgs = jnp.asarray(rs.rand(B, 256, 256, 3).astype(np.float32) * 2 - 1)
+    ref_embeds = jax.lax.stop_gradient(jax.vmap(
+        lambda im: pipe.id_embed(im[None])[0])(ref_imgs))
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+
+    batched = jax.jit(face_batch_fn(
+        pipe, mode="h_edit_R", weight_edit_face=50.0, eta=1.0,
+        optimization_steps=3, after_skip_steps=S, step_chunk=10))
+
+    t0 = time.perf_counter()
+    out = batched(pipe.unet_params, pipe.arcface_params, pipe.lpips_params,
+                  src_imgs, ref_embeds, rngs)
+    out.block_until_ready()
+    print(f"# face dp batch={B} cold (compile+run): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for i in range(3):
+        rngs_i = jax.vmap(jax.random.PRNGKey)(jnp.arange(B) + (i + 1) * B)
+        t0 = time.perf_counter()
+        out = batched(pipe.unet_params, pipe.arcface_params,
+                      pipe.lpips_params, src_imgs, ref_embeds, rngs_i)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    print(f"# face dp timed: {[round(t, 2) for t in times]}", file=sys.stderr)
+    sec = min(times) / B
+    print(json.dumps({
+        "metric": "face_swap_100step_hedit_R_dp_wall_s_per_image",
+        "value": round(sec, 3), "unit": "s/image",
+        "batch_images": B, "images_per_s": round(1.0 / sec, 3),
+    }))
+
+
 def bench_style():
     import jax
     import jax.numpy as jnp
@@ -231,6 +283,8 @@ def main():
     which = os.environ.get("HEDIT_REWARD_BENCH", "style")
     if which == "face":
         bench_face()
+    elif which == "face_dp":
+        bench_face_dp()
     else:
         bench_style()
 
