@@ -37,12 +37,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # below (segfault workaround) would otherwise force identical graphs to
 # recompile in every module.  The disk cache survives clear_caches() and
 # pytest re-runs; min_compile_time 0.5s keeps tiny graphs out of it.
-# Namespaced by the host CPU feature set (see utils/hostcache.py: XLA:CPU
-# AOT entries do not key on machine features; a cross-generation load can
-# SIGILL mid-suite).
-from hedit_tpu.utils.hostcache import cpu_cache_subdir  # noqa: E402
+# Namespaced by CPU identity AND canary-validated (see utils/hostcache.py:
+# XLA:CPU AOT entries do not key on machine features, and the incompatibility
+# is invisible in /proc/cpuinfo — a foreign dir is probe-deserialized in a
+# subprocess and quarantined if its entries were compiled for a different
+# machine; round 3's full-suite segfault came from exactly such a dir).
+from hedit_tpu.utils.hostcache import ensure_safe_cache_dir  # noqa: E402
 
-_cache_dir = cpu_cache_subdir(
+_cache_dir = ensure_safe_cache_dir(
     os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
