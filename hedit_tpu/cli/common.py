@@ -45,13 +45,18 @@ def add_common_model_args(p: argparse.ArgumentParser):
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
                    help="force a JAX platform")
     p.add_argument("--bf16", action="store_true", help="bfloat16 model compute")
+    from hedit_tpu.parallel.dist import add_dist_args
+
+    add_dist_args(p)
 
 
 def build_pipeline(args, num_steps: int, steps_offset: int = 1):
     from hedit_tpu.core.schedule import Schedule
+    from hedit_tpu.parallel.dist import init_distributed_from_args
     from hedit_tpu.pipelines.sd import create_sd_pipeline
 
     force_platform(args.platform)
+    init_distributed_from_args(args)  # no-op without --dist_coordinator
     pipe = create_sd_pipeline(
         weights_dir=args.weights if not args.tiny else None,
         tiny=args.tiny,
@@ -134,27 +139,35 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
     """Sharded dataset sweep for the MasaCtrl / PnP drivers: B samples per
     jit call over the mesh 'data' axis (``parallel/sweep.py:ctrl_batch_fn``).
     ``edit_one`` carries the driver's mode dispatch; ``src_override`` pins
-    the source prompt (MasaCtrl's null-source convention)."""
+    the source prompt (MasaCtrl's null-source convention).
+
+    Multi-host aware (SURVEY.md §5.8, ``parallel/dist.py``): under
+    ``--dist_coordinator`` the mesh 'data' axis spans processes; every
+    process walks the identical deterministic batch list but loads/encodes
+    only its own rows and writes only its own outputs."""
     from hedit_tpu.io_utils.images import load_image, to_pil
-    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel import dist
+    from hedit_tpu.parallel.mesh import dp_mesh
     from hedit_tpu.parallel.sweep import ctrl_batch_fn
 
     B = args.data_parallel
     mesh = dp_mesh(B)
+    sl = dist.owned_slice(mesh, B)
     N = args.num_diffusion_steps - args.skip
     fn = jax.jit(ctrl_batch_fn(
         pipe, edit_one, is_ddim=is_ddim, cfg_scale_src=args.cfg_src,
         inv_eta=1.0 if is_ddim else args.eta, step_chunk=args.step_chunk,
         after_skip_steps=N, skip_zs=skip_zs,
     ))
-    params = replicate(pipe.unet_params, mesh)
+    params = dist.put_replicated(pipe.unet_params, mesh)
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
 
     def prepare(batch):
-        """Host-side batch prep (PIL + VAE/CLIP encode); runs on the
-        prefetch worker while the device executes the previous batch."""
+        """Host-side batch prep (PIL + VAE/CLIP encode) for THIS process's
+        rows only; runs on the prefetch worker while the device executes
+        the previous batch."""
         x0s, us, ss, ts = [], [], [], []
-        for key, item in batch:
+        for key, item in batch[sl]:
             img = jnp.asarray(load_image(item["image_path"], size=img_size))
             x0s.append(pipe.vae_encode(img)[0])
             src = (src_override if src_override is not None else
@@ -170,12 +183,13 @@ def run_data_parallel_ctrl(args, pipe, samples, out_dir, edit_one, *,
         # Per-sample key == the serial path's key (one fixed key per sample,
         # NOT a batch-position split): outputs are identical to the serial
         # sweep and invariant to how --resume re-batches the remaining work.
-        rngs = jnp.broadcast_to(jax.random.PRNGKey(0), (len(batch), 2))
-        shard = lambda x: shard_batch(x, mesh)  # noqa: E731
-        out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
-                 shard(rngs))
+        rngs = jnp.broadcast_to(jax.random.PRNGKey(0),
+                                (sl.stop - sl.start, 2))
+        put = lambda x: dist.put_batch(x, mesh, B)  # noqa: E731
+        out = fn(params, put(x0s), put(us), put(ss), put(ts), put(rngs))
         seen = set()
-        for (key, item), latent in zip(batch, out):
+        for gi, latent in dist.owned_rows(out):
+            key, item = batch[gi]
             if key in seen:
                 continue  # tail padding
             seen.add(key)

@@ -76,8 +76,9 @@ def parse_args(argv=None):
                         "(accepts this framework's or torch-side NCHW captures)")
     p.add_argument("--data_parallel", type=int, default=0, metavar="B",
                    help="batch B samples per jit call, sharded over the mesh "
-                        "'data' axis (h_edit_R + the P2P modes incl. the "
-                        "flagship h_edit_R_p2p --implicit; SURVEY.md §5.8)")
+                        "'data' axis (ALL seven modes incl. the flagship "
+                        "h_edit_R_p2p --implicit; SURVEY.md §5.8). With "
+                        "--dist_coordinator the axis spans hosts (DCN)")
     add_resume_arg(p)
     add_common_model_args(p)
     args = p.parse_args(argv)
@@ -395,21 +396,19 @@ def run_data_parallel(args, pipe, out_dir, samples=None):
     ``samples``: optional (key, item) iterable overriding ``iter_samples``
     (the demo driver passes its YAML-derived list)."""
     import jax
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from hedit_tpu.edit.h_edit import HEditConfig
-    from hedit_tpu.io_utils.images import load_image, to_pil
-    from hedit_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from hedit_tpu.parallel import dist
     from hedit_tpu.parallel.sweep import edit_batch_fn
 
     if args.mode in DP_P2P_MODES:
         return run_data_parallel_p2p(args, pipe, out_dir, samples)
-    assert args.mode == "h_edit_R", (
-        f"--data_parallel supports h_edit_R and {DP_P2P_MODES}"
+    assert args.mode in ("h_edit_R", "ef"), (
+        f"--data_parallel supports h_edit_R, ef and {DP_P2P_MODES}"
     )
     B = args.data_parallel
     mesh = _dp_mesh(B)
+    sl = dist.owned_slice(mesh, B)
     N = args.num_diffusion_steps - args.skip
     cfg = HEditConfig(
         cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
@@ -418,10 +417,11 @@ def run_data_parallel(args, pipe, out_dir, samples=None):
         weight_reconstruction=args.weight_reconstruction,
     )
     fn = jax.jit(edit_batch_fn(
-        pipe, cfg, after_skip_steps=N, cfg_scale_src=args.cfg_src,
-        inv_eta=args.eta, step_chunk=args.step_chunk,
+        pipe, cfg, mode=args.mode, after_skip_steps=N,
+        cfg_scale_src=args.cfg_src, inv_eta=args.eta,
+        step_chunk=args.step_chunk,
     ))
-    params = replicate(pipe.unet_params, mesh)
+    params = dist.put_replicated(pipe.unet_params, mesh)
 
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
     batch, batches = [], []
@@ -442,14 +442,16 @@ def run_data_parallel(args, pipe, out_dir, samples=None):
     total = 0
     with jax.set_mesh(mesh):
         for b, prep in prefetch_map(
-                batches, lambda b: _prep_dp_batch(args, pipe, b, img_size)):
-            total += _consume_dp_batch(args, pipe, fn, params, mesh, b, prep,
-                                       out_dir)
+                batches,
+                lambda b: _prep_dp_batch(args, pipe, b[sl], img_size)):
+            total += _consume_dp_batch(args, pipe, fn, params, mesh, sl, b,
+                                       prep, out_dir)
     print(f"done (data-parallel): {total} samples -> {out_dir}")
     return 0
 
 
-DP_P2P_MODES = ("h_edit_R_p2p", "h_edit_D_p2p", "ef_p2p", "pnp_inv_p2p")
+DP_P2P_MODES = ("h_edit_R_p2p", "h_edit_D_p2p", "ef_p2p", "pnp_inv_p2p",
+                "nmg_p2p", "nmg")
 
 
 def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
@@ -466,13 +468,14 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
     import jax
 
     from hedit_tpu.edit.h_edit import HEditConfig
-    from hedit_tpu.parallel.mesh import replicate
+    from hedit_tpu.parallel import dist
     from hedit_tpu.parallel.sweep import (
         edit_batch_p2p_fn, make_flagship_runner, neutral_blend,
     )
 
     B = args.data_parallel
     mesh = _dp_mesh(B)
+    sl = dist.owned_slice(mesh, B)
     N = args.num_diffusion_steps - args.skip
     is_ddim = args.eta == 0
     eta = 1.0 if is_ddim else args.eta
@@ -493,10 +496,11 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
                                   after_skip_steps=N)
     else:
         fn = jax.jit(edit_batch_p2p_fn(
-            pipe, cfg, mode=args.mode, after_skip_steps=N,
-            step_chunk=args.step_chunk,
+            pipe, cfg,
+            mode="nmg_p2p" if args.mode == "nmg" else args.mode,
+            after_skip_steps=N, step_chunk=args.step_chunk,
         ))
-    params = replicate(pipe.unet_params, mesh)
+    params = dist.put_replicated(pipe.unet_params, mesh)
     heads = pipe.unet.cfg.num_heads
 
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
@@ -511,6 +515,14 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
         ctrl, lb = build_sample_controls(args, pipe, key, item, N,
                                          cond_start=cond_start,
                                          blend_res=res)
+        if ctrl is None:
+            # controller-less members of the family (the reference's
+            # 'nmg' spelling): identity-edit control, shared batch shape
+            from hedit_tpu.parallel.sweep import neutral_control
+
+            nominal = pipe.unet.cfg.sample_size // 4
+            ctrl = neutral_control(N, nominal * nominal,
+                                   cond_start=cond_start)
         if lb is None:
             lb = neutral_blend(N, heads, res)
         sig = (ctrl.mode, ctrl.use_reweight)
@@ -529,43 +541,46 @@ def run_data_parallel_p2p(args, pipe, out_dir, samples=None):
         for b, prep in prefetch_map(
                 batches,
                 lambda b: _prep_dp_batch(args, pipe,
-                                         [(k, it) for k, it, _, _ in b],
+                                         [(k, it) for k, it, _, _ in b[sl]],
                                          img_size)):
-            total += _consume_dp_p2p_batch(args, pipe, fn, params, mesh, b,
-                                           prep, out_dir, flagship)
+            total += _consume_dp_p2p_batch(args, pipe, fn, params, mesh, sl,
+                                           b, prep, out_dir, flagship)
     print(f"done (data-parallel p2p): {total} samples -> {out_dir}")
     return 0
 
 
-def _consume_dp_p2p_batch(args, pipe, fn, params, mesh, batch, prep, out_dir,
-                          flagship):
-    import jax
-
+def _consume_dp_p2p_batch(args, pipe, fn, params, mesh, sl, batch, prep,
+                          out_dir, flagship):
     from hedit_tpu.io_utils.images import to_pil
-    from hedit_tpu.parallel.mesh import shard_batch
+    from hedit_tpu.parallel import dist
     from hedit_tpu.parallel.sweep import stack_pytrees
 
     x0s, us, ss, ts = prep
     B = len(batch)
-    controls = stack_pytrees([c for _, _, c, _ in batch])
-    blends = stack_pytrees([b for _, _, _, b in batch])
-    shard = lambda x: shard_batch(x, mesh)  # noqa: E731
-    controls = jax.tree_util.tree_map(shard, controls)
-    blends = jax.tree_util.tree_map(shard, blends)
+    # control pytrees are built host-side for ALL rows on every process
+    # (cheap — token alignment only); each process device-puts its rows
+    controls = stack_pytrees([c for _, _, c, _ in batch[sl]])
+    blends = stack_pytrees([b for _, _, _, b in batch[sl]])
+    put = lambda x: dist.put_batch(x, mesh, B)  # noqa: E731
+    controls = dist.put_batch_tree(controls, mesh, B)
+    blends = dist.put_batch_tree(blends, mesh, B)
     # Per-sample key == the serial path's key (run_sample, line ~272): one
     # fixed key per sample, NOT a batch-position split — outputs match the
     # serial sweep and are invariant to how --resume re-batches the work.
-    rngs = jnp.broadcast_to(jax.random.PRNGKey(args.device_num), (B, 2))
+    rngs = jnp.broadcast_to(jax.random.PRNGKey(args.device_num),
+                            (sl.stop - sl.start, 2))
     if flagship:
-        ctx4s = shard(jnp.stack([us, ss, ss, ts], axis=1))  # [B, 4, 77, D]
-        out = fn(params, shard(x0s[:, None]), ctx4s, controls,
-                 blends, shard(rngs))
-        out = out[:, 0]
+        ctx4s = put(jnp.stack([us, ss, ss, ts], axis=1))  # [B, 4, 77, D]
+        out = fn(params, put(x0s[:, None]), ctx4s, controls,
+                 blends, put(rngs))
     else:
-        out = fn(params, shard(x0s), shard(us), shard(ss), shard(ts),
-                 shard(rngs), controls, blends)
+        out = fn(params, put(x0s), put(us), put(ss), put(ts),
+                 put(rngs), controls, blends)
     seen = set()
-    for (key, item, _, _), latent in zip(batch, out):
+    for gi, latent in dist.owned_rows(out):
+        if flagship:
+            latent = latent[0]  # flagship rows carry a leading length-1 axis
+        key, item, _, _ = batch[gi]
         if key in seen:
             continue  # tail padding
         seen.add(key)
@@ -592,27 +607,23 @@ def _prep_dp_batch(args, pipe, batch, img_size):
     return (jnp.stack(x0s), jnp.stack(us), jnp.stack(ss), jnp.stack(ts))
 
 
-def _consume_dp_batch(args, pipe, fn, params, mesh, batch, prep, out_dir):
+def _consume_dp_batch(args, pipe, fn, params, mesh, sl, batch, prep, out_dir):
     import jax
     import numpy as np
 
     from hedit_tpu.io_utils.images import to_pil
-    from hedit_tpu.parallel.mesh import shard_batch
+    from hedit_tpu.parallel import dist
 
     x0s, us, ss, ts = prep
+    B = len(batch)
     # Serial-path key per sample (resume-invariant; see run_data_parallel_p2p).
     rngs = jnp.broadcast_to(jax.random.PRNGKey(args.device_num),
-                            (len(batch), 2))
-    out = fn(
-        params,
-        shard_batch(x0s, mesh),
-        shard_batch(us, mesh),
-        shard_batch(ss, mesh),
-        shard_batch(ts, mesh),
-        shard_batch(rngs, mesh),
-    )
+                            (sl.stop - sl.start, 2))
+    put = lambda x: dist.put_batch(x, mesh, B)  # noqa: E731
+    out = fn(params, put(x0s), put(us), put(ss), put(ts), put(rngs))
     seen = set()
-    for (key, item), latent in zip(batch, out):
+    for gi, latent in dist.owned_rows(out):
+        key, item = batch[gi]
         if key in seen:
             continue  # tail padding
         seen.add(key)

@@ -30,6 +30,7 @@ def edit_batch_fn(
     pipe,
     cfg: HEditConfig,
     *,
+    mode: str = "h_edit_R",
     after_skip_steps: int,
     cfg_scale_src: float = 1.0,
     inv_eta: float = 1.0,
@@ -39,8 +40,16 @@ def edit_batch_fn(
 
     (params, x0 [B,H,W,C], uncond [B,77,D], src [B,77,D], tar [B,77,D],
      rngs [B,2]) -> edited latents [B,H,W,C]
+
+    modes: h_edit_R (DDPM inversion + h-Edit-R) or ef (DDPM inversion +
+    plain target-prompt CFG sampling reusing the inverted zs —
+    ``p2p_baselines.py:19-95``); both controller-less.
     """
+    from hedit_tpu.edit.h_edit import ef_sample
+
     sched = pipe.schedule
+    if mode not in ("h_edit_R", "ef"):
+        raise ValueError(f"unsupported batch mode: {mode}")
 
     def one(params, x0, uncond, src, tar, rng):
         eps_fn = lambda x, t, c: pipe.unet.apply(params, x, t, c)  # noqa: E731
@@ -51,10 +60,18 @@ def edit_batch_fn(
         )
         N = after_skip_steps
         xT = inv.xts[N][None]
-        edited, _ = h_edit_r(
-            eps_fn, sched, xT, inv.zs, uncond_ctx=uncond[None], src_ctx=src[None],
-            tar_ctx=tar[None], cfg=cfg, after_skip_steps=N,
-        )
+        if mode == "ef":
+            edited = ef_sample(
+                eps_fn, sched, xT, inv.zs, uncond_ctx=uncond[None],
+                tar_ctx=tar[None], cfg_tar=cfg.cfg_tar, eta=cfg.eta,
+                after_skip_steps=N,
+            )
+        else:
+            edited, _ = h_edit_r(
+                eps_fn, sched, xT, inv.zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg=cfg,
+                after_skip_steps=N,
+            )
         return edited[0]
 
     def batched(params, x0s, unconds, srcs, tars, rngs):
@@ -137,11 +154,13 @@ def edit_batch_p2p_fn(
         -> edited latents [B,H,W,C]
 
     modes: h_edit_R_p2p / h_edit_D_p2p (implicit or explicit by cfg),
-    ef_p2p / pnp_inv_p2p.  The same algebraic eliminations as the
-    single-sample drivers apply (indexed source branch; derive_zs
-    inversion-free stepping when cfg permits).
+    ef_p2p / pnp_inv_p2p, nmg_p2p (DDIM + per-step L1 noise-map-guidance
+    gradient on the reconstruction branch — the through-UNet ``jax.grad``
+    rides the routed Pallas flash backward).  The same algebraic
+    eliminations as the single-sample drivers apply (indexed source branch;
+    derive_zs inversion-free stepping when cfg permits).
     """
-    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p
+    from hedit_tpu.edit.baselines import ef_or_pnp_inv_p2p, nmg_p2p
     from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
     from hedit_tpu.invert.ddim import invert_ddim
 
@@ -152,6 +171,9 @@ def edit_batch_p2p_fn(
         derive = cfg.implicit and cfg.cfg_src == 1.0 and cfg.eta > 0
     elif mode in ("ef_p2p", "pnp_inv_p2p"):
         derive = (cfg.cfg_src == 1.0 or is_ddim) and (cfg.eta > 0 or is_ddim)
+    elif mode == "nmg_p2p":
+        assert is_ddim, "nmg_p2p requires DDIM inversion (eta == 0)"
+        derive = False  # NMG consumes the true inversion residuals
     else:
         raise ValueError(f"unsupported p2p batch mode: {mode}")
 
@@ -187,6 +209,12 @@ def edit_batch_p2p_fn(
                 src_ctx=src[None], tar_ctx=tar[None], cfg=cfg,
                 after_skip_steps=N, control=ctrl, local_blend=lb,
                 xts=xts, derive_zs=derive,
+            )
+        elif mode == "nmg_p2p":
+            edited, _ = nmg_p2p(
+                eps_ctrl, sched, xT, xts, zs, uncond_ctx=uncond[None],
+                src_ctx=src[None], tar_ctx=tar[None], cfg_tar=cfg.cfg_tar,
+                after_skip_steps=N, control=ctrl, local_blend=lb,
             )
         else:
             edited, _ = ef_or_pnp_inv_p2p(

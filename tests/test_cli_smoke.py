@@ -389,3 +389,44 @@ def test_p2p_dp_resume_rebatch_reproduces_outputs(tmp_path):
     assert main(argv + ["--resume"]) == 0
     for p in pngs:
         assert open(p, "rb").read() == golden[p], p
+
+
+@needs_reference
+def test_p2p_cli_data_parallel_ef_and_nmg(tmp_path):
+    """The last two --data_parallel mode holes (VERDICT r3 #5): 'ef' rides
+    the controller-less batched editor (edit_batch_fn mode='ef'); 'nmg_p2p'
+    takes edit_batch_p2p_fn with the through-UNet L1 gradient inside the
+    vmapped per-sample body."""
+    import json
+    import shutil
+
+    from hedit_tpu.cli.main_p2p import main
+
+    imgs = tmp_path / "imgs"
+    (imgs / "annotation_images").mkdir(parents=True)
+    for i in range(2):
+        shutil.copy(os.path.join(TG_DEMO, "lizard.jpg"),
+                    imgs / "annotation_images" / f"im{i}.jpg")
+    mapping = tmp_path / "mapping.json"
+    json.dump({
+        f"k{i}": {
+            "image_path": f"im{i}.jpg",
+            "original_prompt": "a green lizard",
+            "editing_prompt": "a brown lizard",
+            "blended_word": "word lizard",
+            "editing_type_id": "0",
+        } for i in range(2)
+    }, mapping.open("w"))
+    common = [
+        "--num_diffusion_steps", "4",
+        "--data_path", str(imgs), "--mapping_file", str(mapping),
+        "--data_parallel", "2",
+    ] + TINY
+
+    rc = main(["--mode", "ef",
+               "--output_path", str(tmp_path / "out_ef")] + common)
+    assert rc == 0 and len(_pngs(tmp_path / "out_ef")) == 2
+
+    rc = main(["--mode", "nmg_p2p", "--eta", "0",
+               "--output_path", str(tmp_path / "out_nmg")] + common)
+    assert rc == 0 and len(_pngs(tmp_path / "out_nmg")) == 2
