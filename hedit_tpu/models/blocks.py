@@ -35,14 +35,20 @@ def timestep_embedding(
     flip_sin_to_cos: bool = True,
     downscale_freq_shift: float = 0.0,
     max_period: float = 10000.0,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Sinusoidal timestep embedding, diffusers `get_timestep_embedding`
-    semantics (SD config: flip_sin_to_cos=True, freq_shift=0)."""
+    semantics (SD config: flip_sin_to_cos=True, freq_shift=0).
+
+    ``dtype`` is the COMPUTE dtype of the sinusoid: float32 in production
+    (matching diffusers even for bf16 models); float64 for the x64 parity
+    rigs, where an f32 sinusoid would reintroduce the noise floor the f64
+    A/B exists to remove."""
     half = dim // 2
-    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=dtype)
     exponent = exponent / (half - downscale_freq_shift)
     emb = jnp.exp(exponent)
-    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = timesteps.astype(dtype)[:, None] * emb[None, :]
     sin, cos = jnp.sin(emb), jnp.cos(emb)
     out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
     if dim % 2 == 1:
@@ -80,11 +86,15 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, control=NO_CONTROL):
         from hedit_tpu.ops.groupnorm import FusedGroupNorm
+        from hedit_tpu.ops.int8_conv import Int8RoutableConv
 
         in_channels = x.shape[-1]
         h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
                            act="silu", name="norm1")(x)
-        h = nn.Conv(
+        # Int8RoutableConv == nn.Conv (identical params/numerics) unless
+        # HEDIT_INT8_CONV=1 routes the measured-win res<=32 large-C_in
+        # shapes onto the int8 MXU path (ops/int8_conv.py)
+        h = Int8RoutableConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv1",
         )(h)
@@ -95,7 +105,7 @@ class ResnetBlock2D(nn.Module):
             h = h + t[:, None, None, :]
         h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
                            act="silu", name="norm2")(h)
-        h = nn.Conv(
+        h = Int8RoutableConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv2",
         )(h)

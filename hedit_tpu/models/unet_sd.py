@@ -211,6 +211,9 @@ class UNet2DCondition(nn.Module):
             timesteps, cfg.block_out_channels[0],
             flip_sin_to_cos=cfg.flip_sin_to_cos,
             downscale_freq_shift=cfg.freq_shift,
+            # f32 sinusoid in production (diffusers parity, even for bf16
+            # models); f64 only when the model itself is f64 (parity rigs)
+            dtype=jnp.float64 if cfg.dtype == jnp.float64 else jnp.float32,
         ).astype(cfg.dtype)
         temb = TimestepEmbedding(
             cfg.block_out_channels[0] * 4, dtype=cfg.dtype, name="time_embedding"

@@ -259,10 +259,13 @@ class _TorchSDUNet(nn_t.Module):
 
     def _temb(self, t):
         half = self.b0 // 2
+        # compute in the parameter dtype (float32 normally; float64 when the
+        # module was .double()'d for the f64 null-text certification)
+        dt = self.time_embedding.linear_1.weight.dtype
         freqs = torch.exp(
-            -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+            -math.log(10000.0) * torch.arange(half, dtype=dt) / half
         )
-        args = t.float()[:, None] * freqs[None]
+        args = t.to(dt)[:, None] * freqs[None]
         emb = torch.cat([args.cos(), args.sin()], dim=-1)  # flip_sin_to_cos
         return self.time_embedding.linear_2(
             F_t.silu(self.time_embedding.linear_1(emb)))
