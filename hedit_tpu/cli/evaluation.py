@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--lpips_weights", type=str, default=os.environ.get("HEDIT_LPIPS_CKPT"))
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--batch", type=int, default=0, metavar="N",
+                   help="batch N (sample x method) units per device pass: "
+                        "one DINO/CLIP-vision/LPIPS forward per stack and "
+                        "chunked batched text sweeps, instead of the "
+                        "reference's per-sample calls "
+                        "(evaluation.py:109-215); 0 = serial")
     return p.parse_args(argv)
 
 
@@ -142,12 +148,138 @@ def calculate_metric(metric, calcs, src, tgt, mask, src_prompt, tgt_prompt):
     raise ValueError(metric)
 
 
+def _load_unit(args, item, method):
+    """(src512, tgt512) PIL pair for one (sample, method), or None when the
+    method has no output for this sample.  Crop/resize parity with the
+    serial loop (right-square crop, :203-207)."""
+    base = os.path.join(method, item["image_path"])
+    tgt_path = base if os.path.exists(base) else (
+        base.rsplit(".", 1)[0] + ".png")
+    if not os.path.exists(tgt_path):
+        return None
+    src = Image.open(
+        os.path.join(args.src_image_folder, item["image_path"])
+    ).convert("RGB")
+    tgt = Image.open(tgt_path).convert("RGB")
+    if tgt.size[0] != tgt.size[1]:
+        tgt = tgt.crop((tgt.size[0] - tgt.size[1], 0,
+                        tgt.size[0], tgt.size[1]))
+    if tgt.size != (512, 512):
+        tgt = tgt.resize((512, 512))
+    if src.size != (512, 512):
+        src = src.resize((512, 512))
+    return src, tgt
+
+
+def run_batched(args, calcs, data):
+    """Throughput lane (VERDICT r3 #6): metric math identical to the serial
+    loop, device calls batched — per flush of N units, ONE forward each
+    through DINO (x2 stacks), CLIP vision (per variant), LPIPS, and chunked
+    batched text sweeps.  The tail flush is padded to N so every tower
+    compiles exactly once."""
+    import jax.numpy as jnp
+
+    from hedit_tpu.eval_harness import metrics as M
+    from hedit_tpu.io_utils.images import mask_decode
+    from hedit_tpu.models.vit_dino import structure_distance_batch
+
+    clip_score, local_clip, dino_apply, lpips_metric = calcs
+    results = {}
+    units = []  # (key, method, src_np, tgt_np, mask, src_prompt, tgt_prompt)
+
+    def flush():
+        if not units:
+            return
+        n_real = len(units)
+        while len(units) < args.batch:  # pad tail: constant compile shapes
+            units.append(units[-1])
+        keys = [(u[0], u[1]) for u in units]
+        srcs = [u[2] for u in units]
+        tgts = [u[3] for u in units]
+        masks = [u[4] for u in units]
+        inv_masks = [1 - m for m in masks]
+        sps = [u[5] for u in units]
+        tps = [u[6] for u in units]
+        vals = {}
+        want = set(args.metrics)
+        if "structure_distance" in want:
+            vals["structure_distance"] = np.asarray(structure_distance_batch(
+                dino_apply,
+                jnp.asarray(np.stack(srcs).astype(np.float32)),
+                jnp.asarray(np.stack(tgts).astype(np.float32))))
+        if "lpips_unedit_part" in want:
+            vals["lpips_unedit_part"] = lpips_metric.batch(
+                tgts, srcs, inv_masks, inv_masks)
+        if "clip_similarity_source_image" in want:
+            vals["clip_similarity_source_image"] = clip_score.batch(srcs, sps)
+        if "clip_similarity_target_image" in want:
+            vals["clip_similarity_target_image"] = clip_score.batch(tgts, tps)
+        if "clip_similarity_target_image_edit_part" in want:
+            vals["clip_similarity_target_image_edit_part"] = clip_score.batch(
+                tgts, tps, masks)
+        if "local_clip" in want:
+            vals["local_clip"] = local_clip.batch(srcs, sps, tgts, tps)
+        for i in range(n_real):
+            key, method = keys[i]
+            for metric in args.metrics:
+                if metric in vals:
+                    v = float(vals[metric][i])
+                elif metric == "psnr_unedit_part":
+                    v = M.calculate_psnr(tgts[i], srcs[i], inv_masks[i],
+                                         inv_masks[i])
+                elif metric == "mse_unedit_part":
+                    v = M.calculate_mse(tgts[i], srcs[i], inv_masks[i],
+                                        inv_masks[i])
+                elif metric == "ssim_unedit_part":
+                    v = M.calculate_ssim(tgts[i], srcs[i], inv_masks[i],
+                                         inv_masks[i])
+                else:
+                    raise ValueError(metric)
+                results[(key, method, metric)] = v
+            print(f"evaluated {key} [{method}]")
+        units.clear()
+
+    rows = []
+    for key, item in data.items():
+        if item.get("editing_type_id", "0") not in args.edit_category_list:
+            continue
+        rows.append(key)
+        src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
+        tgt_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
+        mask = mask_decode(item["mask"])[:, :, None].repeat(3, axis=2)
+        for method in args.tgt_methods:
+            pair = _load_unit(args, item, method)
+            if pair is None:
+                for metric in args.metrics:
+                    results[(key, method, metric)] = ""
+                continue
+            src, tgt = pair
+            units.append((key, method, np.asarray(src), np.asarray(tgt),
+                          mask, src_prompt, tgt_prompt))
+            if len(units) == args.batch:
+                flush()
+    flush()
+
+    with open(args.result_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["key"] + [f"{m}|{t}" for t in args.tgt_methods
+                                   for m in args.metrics])
+        for key in rows:
+            writer.writerow([key] + [
+                results[(key, method, metric)]
+                for method in args.tgt_methods for metric in args.metrics])
+    print(f"wrote {args.result_path}")
+    return 0
+
+
 def main(argv=None):
     from hedit_tpu.io_utils.images import dataset_from_json, mask_decode
 
     args = parse_args(argv)
     calcs = build_calculators(args)
     data = dataset_from_json(args.annotation_mapping_file)
+    if args.batch > 0:
+        return run_batched(args, calcs, data)
 
     with open(args.result_path, "w", newline="") as f:
         writer = csv.writer(f)

@@ -62,17 +62,42 @@ class CLIPEmbedder:
         if isinstance(texts, str):
             texts = [texts]
         if self.tokenizer is None:
-            rng = np.random.RandomState(abs(hash(tuple(texts))) % (2**31))
-            ids = rng.randint(1, self.text_model.cfg.vocab_size - 1,
-                              size=(len(texts), 77)).astype(np.int32)
-            ids[:, -1] = self.text_model.cfg.vocab_size - 1
+            # per-TEXT seeding (not per-call-tuple): ids must be a pure
+            # function of each text so the batched metric lane reproduces
+            # the serial lane's embeddings
+            vocab = self.text_model.cfg.vocab_size
+            rows = []
+            for t in texts:
+                seed = int.from_bytes(
+                    __import__("hashlib").sha1(t.encode()).digest()[:4],
+                    "little") % (2**31)
+                rows.append(np.random.RandomState(seed).randint(
+                    1, vocab - 1, size=77))
+            ids = np.stack(rows).astype(np.int32)
+            ids[:, -1] = vocab - 1
         else:
             ids = self.tokenizer(texts)
-        return self.text_model.apply(self.text_params, jnp.asarray(ids))
+        return self._text_apply(jnp.asarray(ids))
 
     def embed_image(self, images_normalized) -> jnp.ndarray:
-        emb, _ = self.vision_model.apply(self.vision_params, images_normalized)
+        emb, _ = self._vision_apply(images_normalized)
         return emb
+
+    # jitted tower applies (one compilation per input shape; the batched
+    # evaluation lane pads its tail batch so each tower compiles once)
+    @property
+    def _text_apply(self):
+        if getattr(self, "_text_apply_j", None) is None:
+            self._text_apply_j = jax.jit(
+                lambda ids: self.text_model.apply(self.text_params, ids))
+        return self._text_apply_j
+
+    @property
+    def _vision_apply(self):
+        if getattr(self, "_vision_apply_j", None) is None:
+            self._vision_apply_j = jax.jit(
+                lambda x: self.vision_model.apply(self.vision_params, x))
+        return self._vision_apply_j
 
 
 def convert_openai_or_hf_clip(state):

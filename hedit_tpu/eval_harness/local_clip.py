@@ -99,3 +99,36 @@ class DirectionalCLIPMetric:
         idir = te - se
         idir = idir / (jnp.linalg.norm(idir, axis=-1, keepdims=True) + 1e-12)
         return float(jnp.sum(idir * td))
+
+    def batch(self, src_imgs, src_prompts, tar_imgs, tar_prompts,
+              text_chunk: int = 632):
+        """Per-pair directional similarities [B]: two vision forwards over
+        the stacked images + the 79-template text sweeps batched across
+        samples (chunked at ``text_chunk`` texts per forward, a multiple of
+        the 158 texts each pair contributes)."""
+        import numpy as np
+
+        B = len(src_prompts)
+        se = self.image_embed_fn(clip_image_preprocess(
+            jnp.asarray(np.stack([np.asarray(x, np.float32)
+                                  for x in src_imgs])), size=self.size))
+        te = self.image_embed_fn(clip_image_preprocess(
+            jnp.asarray(np.stack([np.asarray(x, np.float32)
+                                  for x in tar_imgs])), size=self.size))
+        texts = []
+        for sp, tp in zip(src_prompts, tar_prompts):
+            texts.extend(t.format(sp) for t in IMAGENET_TEMPLATES)
+            texts.extend(t.format(tp) for t in IMAGENET_TEMPLATES)
+        embs = []
+        for i in range(0, len(texts), text_chunk):
+            embs.append(self.text_embed_fn(texts[i:i + text_chunk]))
+        et = jnp.concatenate(embs, axis=0).reshape(
+            B, 2, len(IMAGENET_TEMPLATES), -1)
+        et = et / jnp.linalg.norm(et, axis=-1, keepdims=True)
+        td = (et[:, 1] - et[:, 0]).mean(axis=1)  # [B, D]
+        td = td / jnp.linalg.norm(td, axis=-1, keepdims=True)
+        se = se / jnp.linalg.norm(se, axis=-1, keepdims=True)
+        te = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
+        idir = te - se
+        idir = idir / (jnp.linalg.norm(idir, axis=-1, keepdims=True) + 1e-12)
+        return np.asarray(jnp.sum(idir * td, axis=-1))

@@ -92,6 +92,16 @@ class LPIPSMetric:
         b = _prep01(img_gt, mask_gt) * 2 - 1
         return float(self.apply_fn(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
 
+    def batch(self, preds, gts, masks_pred=None, masks_gt=None):
+        """Per-pair LPIPS [B] from lists of images — ONE tower forward per
+        stack (batched evaluation lane)."""
+        mp = masks_pred or [None] * len(preds)
+        mg = masks_gt or [None] * len(gts)
+        a = np.stack([_prep01(p, m) * 2 - 1 for p, m in zip(preds, mp)])
+        b = np.stack([_prep01(g, m) * 2 - 1 for g, m in zip(gts, mg)])
+        return np.asarray(self.apply_fn(jnp.asarray(a), jnp.asarray(b))
+                          ).reshape(-1)
+
 
 class CLIPScoreMetric:
     """CLIPScore: 100 * max(0, cosine(image_emb, text_emb))."""
@@ -109,3 +119,20 @@ class CLIPScoreMetric:
         ie = ie / jnp.linalg.norm(ie, axis=-1, keepdims=True)
         te = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
         return float(100.0 * jnp.maximum(jnp.sum(ie * te), 0.0))
+
+    def batch(self, imgs, txts, masks=None):
+        """Row-wise CLIPScores [B]: ONE vision forward over the stacked
+        images + ONE text forward over the prompt list."""
+        masks = masks or [None] * len(imgs)
+        xs = []
+        for img, mask in zip(imgs, masks):
+            x = np.asarray(img)
+            if mask is not None:
+                x = np.uint8(x * np.asarray(mask))
+            xs.append(x.astype(np.float32))
+        ie = self.image_embed_fn(jnp.asarray(np.stack(xs)))
+        te = self.text_embed_fn(list(txts))
+        ie = ie / jnp.linalg.norm(ie, axis=-1, keepdims=True)
+        te = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
+        return np.asarray(
+            100.0 * jnp.maximum(jnp.sum(ie * te, axis=-1), 0.0))

@@ -123,6 +123,24 @@ def structure_distance(apply_fn, img_a, img_b, *, size: int = 224) -> jnp.ndarra
     return jnp.mean((key_self_similarity(ka) - key_self_similarity(kb)) ** 2)
 
 
+def structure_distance_batch(apply_fn, img_a, img_b,
+                             *, size: int = 224) -> jnp.ndarray:
+    """Per-pair structure distances [B] — one DINO forward per image stack
+    instead of per sample (the batched evaluation harness lane)."""
+    import jax
+
+    def prep(img):
+        x = img / 255.0 if img.max() > 2.0 else img
+        b = x.shape[0]
+        x = jax.image.resize(x, (b, size, size, 3), method="bilinear")
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    _, ka = apply_fn(prep(img_a))
+    _, kb = apply_fn(prep(img_b))
+    d = (key_self_similarity(ka) - key_self_similarity(kb)) ** 2
+    return jnp.mean(d, axis=(1, 2))
+
+
 def convert_dino_vit(state: dict):
     """torch.hub dino state dict -> this tree."""
     import numpy as np

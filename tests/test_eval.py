@@ -135,3 +135,69 @@ def test_evaluation_cli_end_to_end(tmp_path):
     assert len(rows) == 2 and rows[1][0] == "img1"
     vals = [float(v) for v in rows[1][1:]]
     assert len(vals) == 9 and all(np.isfinite(vals))
+
+
+def test_evaluation_cli_batched_matches_serial(tmp_path):
+    """--batch N (VERDICT r3 #6): the throughput lane — one DINO/CLIP/LPIPS
+    forward per unit stack + chunked batched text sweeps — must reproduce
+    the serial per-sample CSV (same math, batched device calls), including
+    a missing-output method column and a padded tail flush."""
+    import csv as csvmod
+    import json
+
+    from PIL import Image
+
+    from hedit_tpu.cli.evaluation import main as eval_main
+
+    rng = np.random.RandomState(1)
+    src_dir = tmp_path / "src"
+    m_a = tmp_path / "methodA"
+    m_b = tmp_path / "methodB"  # partial outputs: img2 missing
+    for d in (src_dir, m_a, m_b):
+        d.mkdir()
+    mapping = {}
+    for i in range(3):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (512, 512, 3), np.uint8)).save(
+            src_dir / name)
+        Image.fromarray(rng.randint(0, 255, (512, 768, 3), np.uint8)).save(
+            m_a / f"img{i}.png")
+        if i != 2:
+            Image.fromarray(rng.randint(0, 255, (512, 512, 3), np.uint8)
+                            ).save(m_b / f"img{i}.png")
+        mapping[f"img{i}"] = {
+            "image_path": name,
+            "original_prompt": f"a [cat] number {i}",
+            "editing_prompt": f"a [dog] number {i}",
+            "editing_type_id": "0",
+            "mask": [800 * i, 2000, 1000, 3000],
+        }
+    mf = tmp_path / "mapping_file.json"
+    mf.write_text(json.dumps(mapping))
+
+    argv = [
+        "--annotation_mapping_file", str(mf),
+        "--src_image_folder", str(src_dir),
+        "--tgt_methods", str(m_a), str(m_b),
+        "--tiny", "--platform", "cpu",
+    ]
+    serial_csv = tmp_path / "serial.csv"
+    batched_csv = tmp_path / "batched.csv"
+    assert eval_main(argv + ["--result_path", str(serial_csv)]) == 0
+    # batch=4 over 5 existing (sample, method) units: one full flush + a
+    # padded tail flush
+    assert eval_main(argv + ["--result_path", str(batched_csv),
+                             "--batch", "4"]) == 0
+
+    rs = list(csvmod.reader(serial_csv.open()))
+    rb = list(csvmod.reader(batched_csv.open()))
+    assert rs[0] == rb[0] and len(rs) == len(rb) == 4
+    for row_s, row_b in zip(rs[1:], rb[1:]):
+        assert row_s[0] == row_b[0]
+        for v_s, v_b in zip(row_s[1:], row_b[1:]):
+            if v_s == "":
+                assert v_b == ""
+                continue
+            a, b = float(v_s), float(v_b)
+            # batched matmul accumulation order only
+            assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (row_s[0], a, b)
