@@ -516,6 +516,13 @@ def main():
         "value": round(sec, 3),
         "unit": "s/image",
         "vs_baseline": round(A100_BASELINE_S / sec, 2),
+        # always quote the denominator with its provenance (VERDICT r3 weak
+        # #3): the reference publishes NO wall-clock; 11.0 s/image is the
+        # constructed A100+diffusers estimate derived in BASELINE.md, and
+        # the honest floor is "measured s/image, >=3x under any defensible
+        # A100 assumption"
+        "baseline_s_per_image": A100_BASELINE_S,
+        "baseline_provenance": "constructed A100+diffusers estimate (BASELINE.md); reference publishes no wall-clock",
     }
     if mode == "batch":
         # throughput view of the same measurement (the 700-image PieBench

@@ -164,6 +164,10 @@ def bench_face_dp():
         "metric": "face_swap_100step_hedit_R_dp_wall_s_per_image",
         "value": round(sec, 3), "unit": "s/image",
         "batch_images": B, "images_per_s": round(1.0 / sec, 3),
+        # identical src_imgs across timed iterations (only rngs vary):
+        # wall-clock is input-independent here, but any data-dependent
+        # convergence behavior is not exercised (advisor r3)
+        "fixed_inputs": True,
     }))
 
 

@@ -23,6 +23,11 @@ SHAPES = [
     (16, 32, 32, 1280, 640),  # res-32 concat conv
     (16, 16, 16, 2560, 1280), # res-16 concat conv
 ]
+# mix() rebuilds a [.., ci] carry by tiling the [.., co] output; a shape
+# with ci % co != 0 (and ci > co) would silently slice-clamp to the wrong
+# width and surface as a confusing fori_loop error — fail loudly instead
+for (_b, _h, _w, _ci, _co) in SHAPES:
+    assert _ci % _co == 0 or _co >= _ci, (_ci, _co)
 REPS = 32
 DN = ("NHWC", "HWIO", "NHWC")
 

@@ -18,15 +18,22 @@ SHAPES = [
     (16, 64, 64, 320, 320),
     (16, 32, 32, 1280, 640),
 ]
+for (_b, _h, _w, _ci, _co) in SHAPES:
+    assert _ci % _co == 0 or _co >= _ci, (_ci, _co)  # mix() tiling bound
 LINKS = 8
 DN = ("NHWC", "HWIO", "NHWC")
 
 
 def bench(fn, *args):
+    """min over 3 timed calls (single-shot numbers fed go/no-go tables in
+    PERF_NOTES and were once host-load-skewed — advisor r3)."""
     jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    np.asarray(jax.device_get(fn(*args)))
-    return (time.perf_counter() - t0) / LINKS
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(fn(*args)))
+        times.append(time.perf_counter() - t0)
+    return min(times) / LINKS
 
 
 def main():

@@ -32,6 +32,11 @@ SHAPES = [
     (16 * 1024, 640, 5120),   # res-32 GEGLU FF in
     (16 * 256, 1280, 1280),   # res-16 projection
 ]
+# mix() folds the [m, n] output back to an [m, k] carry via
+# reshape(m, n//k, k): n must tile by k or a new entry fails loudly here
+# instead of as a confusing in-loop reshape error
+for (_m, _k, _n) in SHAPES:
+    assert _n % _k == 0, (_k, _n)
 REPS = 32
 
 
