@@ -195,14 +195,17 @@ def _save_pair(args, pipe, ref_img, src_img, edited):
 def run_data_parallel_face(args, pipe, pairs):
     """Sharded face-swap sweep: B (ref, source) pairs per jit call over the
     mesh 'data' axis (``parallel/sweep.py:face_batch_fn``).  The reference
-    loop is serial (``face-swapping/main_edit.py:146``)."""
+    loop is serial (``face-swapping/main_edit.py:146``).  Multi-host aware
+    (``parallel/dist.py``): each process loads and writes only its rows."""
     from hedit_tpu.cli.common import resume_skip
     from hedit_tpu.io_utils.images import load_image
-    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel import dist
+    from hedit_tpu.parallel.mesh import dp_mesh
     from hedit_tpu.parallel.sweep import face_batch_fn
 
     B = args.data_parallel
     mesh = dp_mesh(B)
+    sl = dist.owned_slice(mesh, B)
     res = pipe.unet.cfg.resolution
     N = args.num_diffusion_steps - args.skip
     fn = jax.jit(face_batch_fn(
@@ -210,12 +213,13 @@ def run_data_parallel_face(args, pipe, pairs):
         eta=args.eta, optimization_steps=args.optimization_steps,
         after_skip_steps=N, step_chunk=args.step_chunk,
     ))
-    unet_p = replicate(pipe.unet_params, mesh)
-    arc_p = replicate(pipe.arcface_params, mesh)
-    lp_p = replicate(pipe.lpips_params, mesh)
+    unet_p = dist.put_replicated(pipe.unet_params, mesh)
+    arc_p = dist.put_replicated(pipe.arcface_params, mesh)
+    lp_p = dist.put_replicated(pipe.lpips_params, mesh)
     # serial-path parity: every pair inverts with the reference's fixed
     # seed-42 key (main_edit.py / sde_inversion.py:22-23)
-    keys = jnp.broadcast_to(jax.random.PRNGKey(42), (B, 2))
+    keys = jnp.broadcast_to(jax.random.PRNGKey(42),
+                            (sl.stop - sl.start, 2))
 
     todo = []
     for ref_path, src_path in pairs:
@@ -237,10 +241,13 @@ def run_data_parallel_face(args, pipe, pairs):
 
     def prepare(bat):
         chunk, _ = bat
-        refs = [jnp.asarray(load_image(r, size=res)) for r, _, _ in chunk]
-        srcs = [jnp.asarray(load_image(s, size=res)) for _, s, _ in chunk]
+        # this process's rows only (multi-host: disjoint image loads)
+        refs = [jnp.asarray(load_image(r, size=res))
+                for r, _, _ in chunk[sl]]
+        srcs = [jnp.asarray(load_image(s, size=res))
+                for _, s, _ in chunk[sl]]
         ref_embeds = jax.lax.stop_gradient(
-            pipe.id_embed(jnp.concatenate(refs, axis=0)))  # [B, 512]
+            pipe.id_embed(jnp.concatenate(refs, axis=0)))  # [B_local, 512]
         return refs, srcs, ref_embeds
 
     from hedit_tpu.io_utils.prefetch import prefetch_map
@@ -249,16 +256,18 @@ def run_data_parallel_face(args, pipe, pairs):
     with jax.set_mesh(mesh):
         for (chunk, n_real), (refs, srcs, ref_embeds) in prefetch_map(
                 batches, prepare):
+            put = lambda x: dist.put_batch(x, mesh, B)  # noqa: E731
             edited = fn(unet_p, arc_p, lp_p,
-                        shard_batch(jnp.concatenate(srcs, axis=0), mesh),
-                        shard_batch(ref_embeds, mesh),
-                        shard_batch(keys, mesh))
-            edited = np.asarray(edited)
-            for j in range(n_real):
-                grid = _save_pair(args, pipe, refs[j], srcs[j],
-                                  jnp.asarray(edited[j][None]))
-                grid.save(chunk[j][2])
-                print(f"saved {chunk[j][2]}")
+                        put(jnp.concatenate(srcs, axis=0)),
+                        put(ref_embeds), put(keys))
+            for gi, row in dist.owned_rows(edited):
+                if gi >= n_real:
+                    continue  # tail padding
+                li = gi - sl.start
+                grid = _save_pair(args, pipe, refs[li], srcs[li],
+                                  jnp.asarray(row[None]))
+                grid.save(chunk[gi][2])
+                print(f"saved {chunk[gi][2]}")
                 total += 1
     print(f"done (data-parallel): {total} pairs -> {args.output_path}")
     return 0

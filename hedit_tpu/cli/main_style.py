@@ -246,17 +246,20 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
     """Sharded text+style sweep: B samples per jit call over the mesh 'data'
     axis (``parallel/sweep.py:style_batch_fn``).  Samples bucket by the P2P
     control's static signature (replace vs refine) so each stacked control
-    pytree has one treedef."""
+    pytree has one treedef.  Multi-host aware (``parallel/dist.py``): each
+    process encodes and writes only its rows."""
     import dataclasses as _dc
 
     from hedit_tpu.edit.h_edit import HEditConfig
     from hedit_tpu.io_utils.images import load_image, to_pil
-    from hedit_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
+    from hedit_tpu.parallel import dist
+    from hedit_tpu.parallel.mesh import dp_mesh
     from hedit_tpu.parallel.sweep import stack_pytrees, style_batch_fn
     from hedit_tpu.rewards.clip_style import reference_gram, style_loss
 
     B = args.data_parallel
     mesh = dp_mesh(B)
+    sl = dist.owned_slice(mesh, B)
     N = args.num_diffusion_steps - args.skip
     cfg = HEditConfig(
         cfg_src=args.cfg_src, cfg_src_edit=args.cfg_src_edit,
@@ -270,16 +273,17 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
         weight_edit_clip_for_ef=args.weight_edit_clip_for_ef,
         clip_size=vcfg.input_resolution, step_chunk=args.step_chunk,
     ))
-    params = replicate(pipe.unet_params, mesh)
-    vae_p = replicate(pipe.vae_params, mesh)
-    vp = replicate(vision_params, mesh)
+    params = dist.put_replicated(pipe.unet_params, mesh)
+    vae_p = dist.put_replicated(pipe.vae_params, mesh)
+    vp = dist.put_replicated(vision_params, mesh)
     img_size = 512 if not args.tiny else pipe.vae.cfg.sample_size
 
     def prepare(batch):
-        """Host-side batch prep (PIL + VAE/CLIP/Gram encode); runs on the
-        prefetch worker while the device executes the previous batch."""
+        """Host-side batch prep (PIL + VAE/CLIP/Gram encode) for THIS
+        process's rows; runs on the prefetch worker while the device
+        executes the previous batch."""
         x0s, us, ss, ts, gs = [], [], [], [], []
-        for item, _ in batch:
+        for item, _ in batch[sl]:
             img = jnp.asarray(load_image(item["image_path"], size=img_size))
             x0s.append(pipe.vae_encode(img)[0])
             style_np = (np.asarray(load_image(
@@ -295,20 +299,22 @@ def run_data_parallel_style(args, pipe, samples, vision, vision_params, vcfg,
     def consume(batch, prep):
         x0s, us, ss, ts, gs = prep
         # Serial-path key per sample (resume-invariant; see cli/common.py).
-        rngs = jnp.broadcast_to(jax.random.PRNGKey(0), (len(batch), 2))
-        shard = lambda x: shard_batch(x, mesh)  # noqa: E731
-        controls = jax.tree_util.tree_map(
-            shard, stack_pytrees([c for _, c in batch]))
-        out = fn(params, vae_p, vp, shard(x0s), shard(us), shard(ss),
-                 shard(ts), controls, shard(jnp.stack(gs)), shard(rngs))
+        rngs = jnp.broadcast_to(jax.random.PRNGKey(0),
+                                (sl.stop - sl.start, 2))
+        put = lambda x: dist.put_batch(x, mesh, B)  # noqa: E731
+        controls = dist.put_batch_tree(
+            stack_pytrees([c for _, c in batch[sl]]), mesh, B)
+        out = fn(params, vae_p, vp, put(x0s), put(us), put(ss),
+                 put(ts), controls, put(jnp.stack(gs)), put(rngs))
         seen = set()
-        for j, ((item, _), latent) in enumerate(zip(batch, out)):
+        for gi, latent in dist.owned_rows(out):
+            item, _ = batch[gi]
             name = os.path.basename(item["image_path"]).rsplit(".", 1)[0]
             if name in seen:
                 continue  # tail padding
             seen.add(name)
-            img_arr = pipe.vae_decode(latent[None])
-            final_loss = style_loss(vision_apply, img_arr, gs[j],
+            img_arr = pipe.vae_decode(jnp.asarray(latent[None]))
+            final_loss = style_loss(vision_apply, img_arr, gs[gi - sl.start],
                                     size=vcfg.input_resolution)
             print(f"CLIP Gram loss: {float(final_loss)}")
             out_path = os.path.join(args.output_path,
