@@ -96,7 +96,9 @@ def build_calculators(args):
         dino_params = jax.tree_util.tree_map(jnp.asarray, dp)
     else:
         dino_params = dino.init(jax.random.PRNGKey(0), dummy)
-    dino_apply = lambda x: dino.apply(dino_params, x)  # noqa: E731
+    # params as jit ARGUMENTS (axon remote-compile rejects baked weights)
+    _dino_j = jax.jit(lambda p, x: dino.apply(p, x))
+    dino_apply = lambda x: _dino_j(dino_params, x)  # noqa: E731
 
     lp = LPIPSVgg()
     di = jnp.zeros((1, 64, 64, 3))
@@ -108,7 +110,8 @@ def build_calculators(args):
         )
     else:
         lp_params = lp.init(jax.random.PRNGKey(0), di, di)
-    lpips_metric = LPIPSMetric(lambda a, b: lp.apply(lp_params, a, b))
+    _lpips_j = jax.jit(lambda p, a, b: lp.apply(p, a, b))
+    lpips_metric = LPIPSMetric(lambda a, b: _lpips_j(lp_params, a, b))
 
     return clip_score, local_clip, dino_apply, lpips_metric
 
@@ -219,6 +222,9 @@ def run_batched(args, calcs, data):
                 tgts, tps, masks)
         if "local_clip" in want:
             vals["local_clip"] = local_clip.batch(srcs, sps, tgts, tps)
+        if "ssim_unedit_part" in want:
+            vals["ssim_unedit_part"] = M.calculate_ssim_batch(
+                tgts, srcs, inv_masks, inv_masks)
         for i in range(n_real):
             key, method = keys[i]
             for metric in args.metrics:

@@ -84,19 +84,23 @@ class CLIPEmbedder:
         return emb
 
     # jitted tower applies (one compilation per input shape; the batched
-    # evaluation lane pads its tail batch so each tower compiles once)
+    # evaluation lane pads its tail batch so each tower compiles once).
+    # Params are jit ARGUMENTS, not closures — closing over the ViT-L
+    # weights bakes them into the HLO, which the axon remote-compile
+    # service rejects (HTTP 413; same constraint as cli/common.py:
+    # jit_with_params, measured round 4 on the eval bench)
     @property
     def _text_apply(self):
         if getattr(self, "_text_apply_j", None) is None:
-            self._text_apply_j = jax.jit(
-                lambda ids: self.text_model.apply(self.text_params, ids))
+            f = jax.jit(lambda p, ids: self.text_model.apply(p, ids))
+            self._text_apply_j = lambda ids: f(self.text_params, ids)
         return self._text_apply_j
 
     @property
     def _vision_apply(self):
         if getattr(self, "_vision_apply_j", None) is None:
-            self._vision_apply_j = jax.jit(
-                lambda x: self.vision_model.apply(self.vision_params, x))
+            f = jax.jit(lambda p, x: self.vision_model.apply(p, x))
+            self._vision_apply_j = lambda x: f(self.vision_params, x)
         return self._vision_apply_j
 
 

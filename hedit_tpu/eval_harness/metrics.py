@@ -77,6 +77,43 @@ def calculate_ssim(img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
     return float(jnp.mean(num / den))
 
 
+@jax.jit
+def _ssim_batch_jit(a, b):
+    """[B,H,W,C] pairs (already masked, 0..1) -> per-pair SSIM [B]; one
+    fused executable instead of 6 eager conv dispatches per image (the
+    serial lane's dominant host cost: 269 ms/image measured round 4)."""
+    k = _gaussian_kernel()
+    kern = jnp.asarray(np.outer(k, k)[:, :, None, None])
+    c = a.shape[-1]
+    kk = jnp.tile(kern, (1, 1, 1, c))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_a, mu_b = filt(a), filt(b)
+    saa = filt(a * a) - mu_a**2
+    sbb = filt(b * b) - mu_b**2
+    sab = filt(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+    return jnp.mean(num / den, axis=(1, 2, 3))
+
+
+def calculate_ssim_batch(preds, gts, masks_pred=None, masks_gt=None):
+    """Per-pair SSIM [B] from lists of images, identical math to
+    :func:`calculate_ssim` (same kernel, VALID crop, data_range 1)."""
+    mp = masks_pred or [None] * len(preds)
+    mg = masks_gt or [None] * len(gts)
+    a = np.stack([_prep01(p, m) for p, m in zip(preds, mp)])
+    b = np.stack([_prep01(g, m) for g, m in zip(gts, mg)])
+    return np.asarray(_ssim_batch_jit(jnp.asarray(a), jnp.asarray(b)))
+
+
 class LPIPSMetric:
     """LPIPS distance (torchmetrics LearnedPerceptualImagePatchSimilarity).
 
