@@ -81,9 +81,15 @@ def init_distributed(coordinator: Optional[str] = None,
     if jax.config.jax_platforms == "cpu" or (
             os.environ.get("JAX_PLATFORMS") == "cpu"):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # idempotent re-entry (e.g. a driver main() called twice in one
+        # process); any other failure is real
+        if "already initialized" not in str(e).lower():
+            raise
     return True
 
 
