@@ -18,8 +18,14 @@ import resource
 # process.  The hard limit is unlimited here — raise the soft limit so the
 # main-thread stack can grow.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _hard == resource.RLIM_INFINITY or _hard >= 256 * 1024 * 1024:
-    resource.setrlimit(resource.RLIMIT_STACK, (256 * 1024 * 1024, _hard))
+if _hard == resource.RLIM_INFINITY:
+    # round 4: raise all the way — the 256MB soft limit still left the
+    # multi-hour cold suite vulnerable to the compiler's deep recursion
+    # corrupting process state (segfault at ~88%, inside a cache
+    # DESERIALIZE whose entry loads clean in a fresh process)
+    resource.setrlimit(resource.RLIMIT_STACK, (resource.RLIM_INFINITY, _hard))
+elif _hard >= 256 * 1024 * 1024:
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
