@@ -18,12 +18,13 @@ import resource
 # process.  The hard limit is unlimited here — raise the soft limit so the
 # main-thread stack can grow.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _hard == resource.RLIM_INFINITY:
-    # round 4: raise all the way — the 256MB soft limit still left the
-    # multi-hour cold suite vulnerable to the compiler's deep recursion
-    # corrupting process state (segfault at ~88%, inside a cache
-    # DESERIALIZE whose entry loads clean in a fresh process)
-    resource.setrlimit(resource.RLIMIT_STACK, (resource.RLIM_INFINITY, _hard))
+# A LARGE FINITE soft limit, deliberately not RLIM_INFINITY: glibc sizes
+# new pthread stacks from the soft limit only when it is finite (unlimited
+# falls back to the ~8MB default), and XLA:CPU compiles/loads on internal
+# threads too — an "unlimited" limit would SHRINK their stacks 128x.
+_want = 1024 * 1024 * 1024
+if _hard == resource.RLIM_INFINITY or _hard >= _want:
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 elif _hard >= 256 * 1024 * 1024:
     resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 

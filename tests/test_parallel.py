@@ -5,6 +5,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_tests():
+    """This module accumulates the suite's largest executables (batch-8
+    sweeps, 12MB cached scans); with them retained, the style test's cache
+    LOAD segfaults deterministically after ~13 in-module tests (round-4
+    postmortem in PERF_NOTES — process-local XLA:CPU state decay; every
+    entry loads clean in a fresh process).  Dropping executables per TEST
+    (the suite-wide conftest does it per MODULE) keeps the process healthy;
+    reloads come from the persistent disk cache."""
+    yield
+    jax.clear_caches()
+
 from hedit_tpu.models.unet_sd import UNet2DCondition, UNetConfig
 from hedit_tpu.parallel.mesh import (
     make_mesh,
