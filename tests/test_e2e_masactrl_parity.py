@@ -39,10 +39,12 @@ def _install_masactrl_shims():
     import sys
     import types
 
+    from test_e2e_text_parity import _mk_stub
+
     _install_p2p_shims()
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvu = types.ModuleType("torchvision.utils")
+        tv = _mk_stub("torchvision")
+        tvu = _mk_stub("torchvision.utils")
         tvu.save_image = lambda *a, **k: None
         tv.utils = tvu
         sys.modules["torchvision"] = tv
@@ -51,7 +53,7 @@ def _install_masactrl_shims():
         # the reference's masactrl.py:8 imports masa_ctrl.masactrl_utils — a
         # package name that does not exist in the repo (reference bug); alias
         # it to the actual masactrl directory
-        pkg = types.ModuleType("masa_ctrl")
+        pkg = _mk_stub("masa_ctrl")
         pkg.__path__ = [REF + "/text-guided/masactrl"]
         sys.modules["masa_ctrl"] = pkg
 

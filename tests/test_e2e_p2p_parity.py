@@ -88,12 +88,18 @@ def _install_p2p_shims():
     import sys
     import types
 
+    from test_e2e_text_parity import _mk_stub
+
     _install_shims()
+    # every stub needs a real ModuleSpec (_mk_stub): a bare ModuleType makes
+    # any later importlib.util.find_spec probe raise "__spec__ is None" in
+    # whichever unrelated test imports transformers afterwards (hit by the
+    # sharded suite runner grouping this module with test_models)
     if "cv2" not in sys.modules:
-        sys.modules["cv2"] = types.ModuleType("cv2")
+        sys.modules["cv2"] = _mk_stub("cv2")
     if "diffusers.models" not in sys.modules:
-        dm = types.ModuleType("diffusers.models")
-        dap = types.ModuleType("diffusers.models.attention_processor")
+        dm = _mk_stub("diffusers.models")
+        dap = _mk_stub("diffusers.models.attention_processor")
 
         class Attention:  # placeholder: referenced as a type only
             pass
@@ -104,7 +110,7 @@ def _install_p2p_shims():
         sys.modules["diffusers.models.attention_processor"] = dap
         sys.modules["diffusers"].models = dm
     if "p2p" not in sys.modules:
-        pkg = types.ModuleType("p2p")
+        pkg = _mk_stub("p2p")
         pkg.__path__ = [REF + "/text-guided/p2p"]
         sys.modules["p2p"] = pkg
 
