@@ -62,6 +62,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # axon-tunnel-safe execution barrier: block_until_ready can return
+    # before remote execution completes (measured 83 PFLOP/s "effective"
+    # = bogus); every timed region ends with a one-scalar host fetch
+    from hedit_tpu.utils.profiling import device_sync
+
     from hedit_tpu.control.base import NO_CONTROL
     from hedit_tpu.control.p2p import (
         LocalBlendState, P2PControl, accumulate_store, apply_local_blend,
@@ -151,12 +156,12 @@ def main():
             return edit_jit(params, xT, zs)
 
         out = one(jax.random.PRNGKey(0))
-        out.block_until_ready()
+        device_sync(out)
         times = []
         for i in range(3):
             t0 = time.perf_counter()
             out = one(jax.random.PRNGKey(i + 1))
-            out.block_until_ready()
+            device_sync(out)
             times.append(time.perf_counter() - t0)
         return min(times)
 
@@ -245,12 +250,12 @@ def main():
             return x_edit
 
         out = one(jax.random.PRNGKey(0))
-        out.block_until_ready()
+        device_sync(out)
         times = []
         for i in range(3):
             t0 = time.perf_counter()
             out = one(jax.random.PRNGKey(i + 1))
-            out.block_until_ready()
+            device_sync(out)
             times.append(time.perf_counter() - t0)
         return min(times)
 
@@ -279,7 +284,7 @@ def main():
 
         t_setup = time.perf_counter()
         out = one(jax.random.PRNGKey(0), dump_hlo=dump)
-        out.block_until_ready()
+        device_sync(out)
         print(f"# batch warmup (compile/cache-load + 1 run): "
               f"{time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
         if dump:
@@ -288,7 +293,7 @@ def main():
         for i in range(3):
             t0 = time.perf_counter()
             out = one(jax.random.PRNGKey(i + 1))
-            out.block_until_ready()
+            device_sync(out)
             times.append(time.perf_counter() - t0)
         print(f"# batch timed runs: {[round(t, 2) for t in times]}",
               file=sys.stderr)
@@ -299,7 +304,7 @@ def main():
             # the single JSON line)
             with jax.profiler.trace(prof_dir):
                 out = one(jax.random.PRNGKey(99))
-                out.block_until_ready()
+                device_sync(out)
             from hedit_tpu.utils.xplane import top_ops
             total_ps, rows = top_ops(prof_dir, n=25)
             print(f"# device total {total_ps / 1e9:.1f} ms for {n_images} "
@@ -369,14 +374,14 @@ def main():
 
         t_setup = time.perf_counter()
         out = run(jax.random.PRNGKey(0))
-        out.block_until_ready()
+        device_sync(out)
         print(f"# scan warmup (n={n}): {time.perf_counter() - t_setup:.1f}s",
               file=sys.stderr)
         times = []
         for i in range(3):
             t0 = time.perf_counter()
             out = run(jax.random.PRNGKey(i + 1))
-            out.block_until_ready()
+            device_sync(out)
             times.append(time.perf_counter() - t0)
         print(f"# scan timed runs: {[round(t, 2) for t in times]}",
               file=sys.stderr)
@@ -473,12 +478,12 @@ def main():
 
     def run_hostloop():
         out = edit_one(w0, jax.random.PRNGKey(0))
-        out.block_until_ready()  # warm-up / compile
+        device_sync(out)  # warm-up / compile
         times = []
         for i in range(3):
             t0 = time.perf_counter()
             out = edit_one(w0, jax.random.PRNGKey(i + 1))
-            out.block_until_ready()
+            device_sync(out)
             times.append(time.perf_counter() - t0)
         return min(times)
 

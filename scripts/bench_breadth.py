@@ -21,6 +21,7 @@ import sys
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,6 +14,7 @@ import sys
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,14 +76,14 @@ def main():
 
     t0 = time.perf_counter()
     out = run(params, xts[S], xts, zs)
-    out.block_until_ready()
+    device_sync(out)
     print(f"# {which} cold (compile+run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = run(params, xts[S], xts, zs)
-        out.block_until_ready()
+        device_sync(out)
         times.append(time.perf_counter() - t0)
     print(f"# {which} timed: {[round(t, 2) for t in times]}", file=sys.stderr)
     print(json.dumps({

@@ -25,6 +25,8 @@ Prints one JSON line per workload; numbers land in PERF_NOTES.md.
 
 from __future__ import annotations
 
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
+
 import dataclasses
 import json
 import os
@@ -63,7 +65,7 @@ def bench_face():
 
     t0 = time.perf_counter()
     inv = invert_jit(pipe.unet_params, src_img, jax.random.PRNGKey(42))
-    inv.xts.block_until_ready()
+    device_sync(inv.xts)
     t_inv_cold = time.perf_counter() - t0
     print(f"# face inversion cold (compile+run): {t_inv_cold:.1f}s",
           file=sys.stderr)
@@ -89,7 +91,7 @@ def bench_face():
     t0 = time.perf_counter()
     out = run_edit(pipe.unet_params, pipe.arcface_params, pipe.lpips_params,
                    xT, inv.zs, ref_embed, src_img)
-    out.block_until_ready()
+    device_sync(out)
     print(f"# face edit cold (compile+run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -97,12 +99,12 @@ def bench_face():
     for i in range(3):
         t0 = time.perf_counter()
         inv = invert_jit(pipe.unet_params, src_img, jax.random.PRNGKey(i))
-        inv.xts.block_until_ready()
+        device_sync(inv.xts)
         times_inv.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         out = run_edit(pipe.unet_params, pipe.arcface_params,
                        pipe.lpips_params, xT, inv.zs, ref_embed, src_img)
-        out.block_until_ready()
+        device_sync(out)
         times_edit.append(time.perf_counter() - t0)
     print(f"# face timed: inv {[round(t, 2) for t in times_inv]} "
           f"edit {[round(t, 2) for t in times_edit]}", file=sys.stderr)
@@ -147,7 +149,7 @@ def bench_face_dp():
     t0 = time.perf_counter()
     out = batched(pipe.unet_params, pipe.arcface_params, pipe.lpips_params,
                   src_imgs, ref_embeds, rngs)
-    out.block_until_ready()
+    device_sync(out)
     print(f"# face dp batch={B} cold (compile+run): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     times = []
@@ -156,7 +158,7 @@ def bench_face_dp():
         t0 = time.perf_counter()
         out = batched(pipe.unet_params, pipe.arcface_params,
                       pipe.lpips_params, src_imgs, ref_embeds, rngs_i)
-        out.block_until_ready()
+        device_sync(out)
         times.append(time.perf_counter() - t0)
     print(f"# face dp timed: {[round(t, 2) for t in times]}", file=sys.stderr)
     sec = min(times) / B
@@ -224,7 +226,7 @@ def bench_style():
     style01 = jnp.asarray(rs.rand(1, 224, 224, 3).astype(np.float32))
     t0 = time.perf_counter()
     ref_g = reference_gram(vapply, style01)
-    ref_g = jax.block_until_ready(ref_g)
+    device_sync(ref_g)
     print(f"# style reference gram: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -250,14 +252,14 @@ def bench_style():
 
     t0 = time.perf_counter()
     out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(0), ref_g)
-    out.block_until_ready()
+    device_sync(out)
     print(f"# style edit cold (compile+run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(i + 1), ref_g)
-        out.block_until_ready()
+        device_sync(out)
         times.append(time.perf_counter() - t0)
     print(f"# style timed: {[round(t, 2) for t in times]}", file=sys.stderr)
     # A DIFFERENT style image through the same runner: ref_gram is a jit
@@ -266,7 +268,7 @@ def bench_style():
         vapply, jnp.asarray(rs.rand(224, 224, 3).astype(np.float32)))
     t0 = time.perf_counter()
     out = run(params, x0, ctx4c, ctrl, jax.random.PRNGKey(9), ref_g2)
-    out.block_until_ready()
+    device_sync(out)
     t_second = time.perf_counter() - t0
     print(f"# style second-gram (executable reuse): {t_second:.2f}s",
           file=sys.stderr)

@@ -18,6 +18,7 @@ import os
 import sys
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -81,12 +82,12 @@ def run(mode, q, k, v, blk_q=2048, blk_k=512):
         out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
     )(qf, kf, vf))
     out = f(qf, kf, vf)
-    out.block_until_ready()
+    device_sync(out)
     logdir = tempfile.mkdtemp()
     with jax.profiler.trace(logdir):
         for _ in range(5):
             out = f(qf, kf, vf)
-        out.block_until_ready()
+        device_sync(out)
     total, rows = top_ops(logdir, n=3)
     ms = [m for nm, m, c in rows if "wrapped" in nm or "custom" in nm or "pallas" in nm.lower() or "<lambda>" in nm or "fori" in nm or True][0]
     print(f"{mode} {blk_q}x{blk_k}: {ms / 5:.3f} ms/call")

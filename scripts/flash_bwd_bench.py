@@ -8,6 +8,7 @@ materializes [BH, S, S] probabilities).  Run on the real chip.
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,12 +18,11 @@ from hedit_tpu.ops.flash_attention import (
 
 
 def timeit(f, *args, n=10):
-    f(*args)[0].block_until_ready() if isinstance(f(*args), tuple) else \
-        jax.block_until_ready(f(*args))
+    device_sync(f(*args))  # warm (tuple outputs: first leaf probed)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        device_sync(f(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

@@ -42,6 +42,7 @@ import os
 import sys
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -238,13 +239,13 @@ def flash_packed_t_sminor(qt, kt, v, *, blk_q=2048, blk_k=512):
 
 def measure(name, fn, args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     logdir = tempfile.mkdtemp()
     with jax.profiler.trace(logdir):
         o = None
         for _ in range(5):
             o = fn(*args)
-        jax.block_until_ready(o)
+        device_sync(o)
     total, rows = top_ops(logdir, n=8)
     print(f"{name}: device total {total / 1e9 / 5:.3f} ms/call")
     for nm, ms, cnt in rows:

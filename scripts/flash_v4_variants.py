@@ -13,6 +13,7 @@ import functools
 import tempfile
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -97,7 +98,7 @@ def run_variant(name, q, k, v, *, blk_q=2048, blk_k=512, pipe=False):
         out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
     )(qf, kf, vf))
     out = f(qf, kf, vf)
-    out.block_until_ready()
+    device_sync(out)
     # correctness on head 0
     want = reference_attention(
         q[:1, :1].astype(jnp.float32), k[:1, :1].astype(jnp.float32),
@@ -108,7 +109,7 @@ def run_variant(name, q, k, v, *, blk_q=2048, blk_k=512, pipe=False):
     with jax.profiler.trace(logdir):
         for _ in range(5):
             out = f(qf, kf, vf)
-        out.block_until_ready()
+        device_sync(out)
     total, rows = top_ops(logdir, n=2)
     ms = [m for nm, m, c in rows if "kern_exp2" in nm or "fusion" not in nm]
     print(f"{name}: {ms[0] / 5:.3f} ms/call  (err {err:.2e})")
@@ -123,12 +124,12 @@ def main():
 
     # baseline: shipped v3 kernel
     fb = jax.jit(lambda q, k, v: flash_attention(q, k, v))
-    out = fb(q, k, v); out.block_until_ready()
+    out = fb(q, k, v); device_sync(out)
     logdir = tempfile.mkdtemp()
     with jax.profiler.trace(logdir):
         for _ in range(5):
             out = fb(q, k, v)
-        out.block_until_ready()
+        device_sync(out)
     total, rows = top_ops(logdir, n=2)
     ms = [m for nm, m, c in rows if "flash" in nm]
     print(f"base(v3): {ms[0] / 5:.3f} ms/call")

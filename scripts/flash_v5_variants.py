@@ -16,6 +16,7 @@ import os
 import sys
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,7 +33,7 @@ from hedit_tpu.utils.xplane import top_ops  # noqa: E402
 
 def profile(name, fn, q, k, v, match=("flash",)):
     out = fn(q, k, v)
-    out.block_until_ready()
+    device_sync(out)
     want = reference_attention(
         q[:1, :1].astype(jnp.float32), k[:1, :1].astype(jnp.float32),
         v[:1, :1].astype(jnp.float32))
@@ -42,7 +43,7 @@ def profile(name, fn, q, k, v, match=("flash",)):
     with jax.profiler.trace(logdir):
         for _ in range(5):
             out = fn(q, k, v)
-        out.block_until_ready()
+        device_sync(out)
     total, rows = top_ops(logdir, n=4)
     ms = [m for nm, m, c in rows if any(s in nm for s in match)]
     best = ms[0] / 5 if ms else float("nan")

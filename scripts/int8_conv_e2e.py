@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 S = 50
@@ -80,7 +82,7 @@ def run_mode(jax, inp, sched, cfg, n_images, label):
     t0 = time.perf_counter()
     out = run(inp["params"], inp["x0b"], inp["ctx4s"], inp["controls"],
               inp["blends"], jax.random.PRNGKey(0))
-    out.block_until_ready()
+    device_sync(out)
     print(f"# {label} warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     times = []
@@ -88,7 +90,7 @@ def run_mode(jax, inp, sched, cfg, n_images, label):
         t0 = time.perf_counter()
         out = run(inp["params"], inp["x0b"], inp["ctx4s"], inp["controls"],
                   inp["blends"], jax.random.PRNGKey(1))  # fixed key: A/B-able
-        out.block_until_ready()
+        device_sync(out)
         times.append(time.perf_counter() - t0)
     print(f"# {label} timed: {[round(t, 2) for t in times]}", file=sys.stderr)
     return min(times) / n_images, out

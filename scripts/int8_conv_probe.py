@@ -13,6 +13,7 @@ activation byte) amortizes the quant far better.  Same in-graph fori_loop
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,7 +34,7 @@ DN = ("NHWC", "HWIO", "NHWC")
 
 
 def bench(fn, *args):
-    jax.block_until_ready(fn(*args))
+    device_sync(fn(*args))
     t0 = time.perf_counter()
     out = fn(*args)
     np.asarray(jax.device_get(out))

@@ -10,6 +10,7 @@ no loop structure, same DCE blocking — giving a fair per-conv wall.
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,7 +28,7 @@ DN = ("NHWC", "HWIO", "NHWC")
 def bench(fn, *args):
     """min over 3 timed calls (single-shot numbers fed go/no-go tables in
     PERF_NOTES and were once host-load-skewed — advisor r3)."""
-    jax.block_until_ready(fn(*args))
+    device_sync(fn(*args))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -23,6 +23,7 @@ sum/update VPU tail is identical in both variants and overlaps the MXU.
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,7 +42,7 @@ REPS = 32
 
 
 def bench(fn, *args):
-    jax.block_until_ready(fn(*args))  # compile
+    device_sync(fn(*args))  # compile
     t0 = time.perf_counter()
     out = fn(*args)
     np.asarray(jax.device_get(out))  # forced readback wall

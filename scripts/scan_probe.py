@@ -18,6 +18,7 @@ import sys
 import time
 
 import jax
+from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,11 +125,11 @@ def main():
 
     t0 = time.perf_counter()
     out = run(params, x)
-    out.block_until_ready()
+    device_sync(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = run(params, x * 1.01)
-    out.block_until_ready()
+    device_sync(out)
     print(f"{case} OK compile={compile_s:.0f}s run={time.perf_counter() - t0:.2f}s")
 
 
