@@ -52,9 +52,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 from hedit_tpu.utils.hostcache import ensure_safe_cache_dir  # noqa: E402
 
 _cache_dir = ensure_safe_cache_dir(
-    os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
+    os.environ.get("HEDIT_TEST_CACHE_DIR")
+    or os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    float(os.environ.get("HEDIT_TEST_CACHE_MIN", "0.5")))
 
 
 import pytest  # noqa: E402
