@@ -534,6 +534,15 @@ def main():
         # sweep is a throughput job; per-image latency understates batching)
         out["images_per_s"] = round(1.0 / sec, 3)
         out["batch_images"] = int(os.environ.get("HEDIT_BENCH_BATCH", "8"))
+    # Roofline sanity guard: ~550 batch-1-equivalent UNet passes/image at
+    # ~0.68 TFLOP/pass = ~374 TFLOP/image; even a hypothetical 1 PFLOP/s
+    # chip cannot go below ~0.37 s/image.  A smaller number means the
+    # barrier was fooled (the tunnel once "measured" 0.039 s/image with a
+    # lying block_until_ready) — flag it rather than record a phantom.
+    if sec < 0.37:
+        out["suspect_timing"] = True
+        print("# WARNING: measured s/image is below the single-chip "
+              "roofline floor; timing barrier likely broken", file=sys.stderr)
     print(json.dumps(out))
 
 
