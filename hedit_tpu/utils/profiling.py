@@ -73,17 +73,26 @@ def device_sync(x) -> float:
     wall-clock measurement in this repo ends a timed region with this
     instead of ``block_until_ready``.
 
-    ``x`` may be an array or a pytree (first leaf is probed).  Returns the
-    fetched scalar (also a cheap NaN canary for callers that want one).
+    ``x`` may be an array or a pytree: the first leaf that is actually a
+    ``jax.Array`` is probed (host-side scalars/numpy leaves are skipped —
+    fetching those would not wait for any device work).  If no leaf is a
+    device array the call is a no-op barrier and returns the first leaf
+    coerced to float.  Returns the fetched scalar (also a cheap NaN canary
+    for callers that want one).
     """
     import jax.numpy as jnp
 
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    return float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+    leaves = jax.tree_util.tree_leaves(x)
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            return float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+    return float(jnp.asarray(leaves[0]).reshape(-1)[0]) if leaves else 0.0
 
 
 class StepTimer:
     """Named wall-clock sections with an optional device barrier."""
+
+    _sync_warned = False
 
     def __init__(self, sync: bool = True):
         self.sync = sync
@@ -91,19 +100,29 @@ class StepTimer:
 
     @contextlib.contextmanager
     def section(self, name: str, result=None):
+        """Time a section.  ``result`` may be the device output to barrier
+        on, or a zero-arg callable resolved AFTER the body runs (use a
+        callable/holder to pass the section's own output — a plain value is
+        bound at context entry, before the body executes)."""
         t0 = time.perf_counter()
         yield
         if self.sync:
             try:
-                if result is not None:
-                    device_sync(result)
+                probe = result() if callable(result) else result
+                if probe is not None:
+                    device_sync(probe)
                 else:
                     # no section output to probe: a fresh dispatch fetched to
                     # host orders behind queued work on the single-stream
                     # runtimes this targets
                     device_sync(jax.device_put(0) + 0)
-            except Exception:
-                pass
+            except Exception as e:  # barrier failure must not kill the run,
+                if not StepTimer._sync_warned:  # but silence would hide it
+                    StepTimer._sync_warned = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "StepTimer device barrier failed (%s); timings may "
+                        "exclude device time", e)
         self.records[name] = self.records.get(name, 0.0) + time.perf_counter() - t0
 
     def summary(self) -> Dict[str, float]:

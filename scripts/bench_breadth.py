@@ -21,31 +21,28 @@ import sys
 import time
 
 import jax
-from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from hedit_tpu.utils.profiling import device_sync  # noqa: E402  axon-safe barrier
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 
 
-def _force(out):
-    """Scalar readback of one leaf.  jax.block_until_ready can return EARLY
-    through the axon tunnel (a 6.7 ms forward 'measured' at 0.3 ms); device
-    execution is in-order, so reading real bytes of the last output proves
-    every prior dispatch finished."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.sum(leaf))
+# Barrier rationale: jax.block_until_ready can return EARLY through the axon
+# tunnel (a 6.7 ms forward 'measured' at 0.3 ms); device execution is
+# in-order, so reading real bytes of the last output (device_sync) proves
+# every prior dispatch finished.
 
 
 def timeit(name, fn, *args, iters=8):
-    _force(fn(*args))
+    device_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _force(out)
+    device_sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:<16} {ms:8.2f} ms/call")
     return ms

@@ -25,7 +25,6 @@ Prints one JSON line per workload; numbers land in PERF_NOTES.md.
 
 from __future__ import annotations
 
-from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 
 import dataclasses
 import json
@@ -34,6 +33,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from hedit_tpu.utils.profiling import device_sync  # noqa: E402  axon-safe barrier
 
 
 def bench_face():

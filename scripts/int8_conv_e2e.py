@@ -16,9 +16,9 @@ import os
 import sys
 import time
 
-from hedit_tpu.utils.profiling import device_sync  # axon-safe barrier
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from hedit_tpu.utils.profiling import device_sync  # noqa: E402  axon-safe barrier
 
 S = 50
 
