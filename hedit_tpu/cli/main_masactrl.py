@@ -61,7 +61,6 @@ def main(argv=None):
     from hedit_tpu.invert.ddim import invert_ddim
     from hedit_tpu.invert.ddpm import invert_ddpm
     from hedit_tpu.io_utils.images import dataset_from_json, load_image, to_pil
-    from hedit_tpu.control.base import NO_CONTROL
     from hedit_tpu.control.masactrl import MasaCtrlControl
 
     args = parse_args(argv)

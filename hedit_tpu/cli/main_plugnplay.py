@@ -58,8 +58,8 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from hedit_tpu.control.pnp import PnPControl, pnp_step_gates
-    from hedit_tpu.edit.h_edit import HEditConfig, ef_sample
+    from hedit_tpu.control.pnp import pnp_step_gates
+    from hedit_tpu.edit.h_edit import HEditConfig
     from hedit_tpu.edit.h_edit_ctrl import h_edit_pnp
     from hedit_tpu.edit.pnp_baselines import (
         ef_or_pnp_inv_w_pnp, negative_prompt_pnp, nmg_pnp_loop, null_text_pnp,

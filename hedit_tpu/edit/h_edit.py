@@ -28,7 +28,7 @@ The per-step recipe (SURVEY.md §2.3):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

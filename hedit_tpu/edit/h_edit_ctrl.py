@@ -20,7 +20,6 @@ uncond_ctx.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

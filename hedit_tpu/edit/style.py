@@ -19,10 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from hedit_tpu.control.base import NO_CONTROL
-from hedit_tpu.control.p2p import LocalBlendState, P2PControl, accumulate_store, apply_local_blend
+from hedit_tpu.control.p2p import LocalBlendState, P2PControl
 from hedit_tpu.core.schedule import Schedule
 from hedit_tpu.edit.h_edit import HEditConfig, _rms, make_step_grid
-from hedit_tpu.edit.h_edit_p2p import flatten_attn_store, h_edit_p2p
+from hedit_tpu.edit.h_edit_p2p import h_edit_p2p
 from hedit_tpu.rewards.clip_style import style_loss
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any, Callable, Optional
 
-import jax
 
 
 def _checkpointer():

@@ -8,7 +8,6 @@ Parity: ``*/utils/utils.py`` (identical in all three reference workloads) and
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, List
 
 import numpy as np

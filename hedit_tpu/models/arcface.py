@@ -12,7 +12,6 @@ cosine similarity vs a reference embedding.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -120,8 +119,6 @@ def convert_irse50(state: dict):
 
     torch layout: input_layer.{0,1,2}, body.N.{shortcut_layer, res_layer.M},
     output_layer.{0,3,4}."""
-    import re
-
     import numpy as np
 
     from hedit_tpu.io_utils.weights import _unflatten

@@ -210,8 +210,6 @@ def convert_ddpm_ckpt(state: dict):
     Reference load path: ``face-swapping/main_edit.py:104-114`` (including the
     DataParallel 'module.' prefix possibility; the reference's strip loop is
     buggy — iterates the wrong dict — and is fixed here)."""
-    import numpy as np
-
     from hedit_tpu.io_utils.weights import convert_state_dict
 
     state = {

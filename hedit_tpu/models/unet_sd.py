@@ -20,7 +20,7 @@ Feature-injection hook: after each up-block resnet the control's
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

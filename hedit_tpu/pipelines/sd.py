@@ -20,7 +20,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hedit_tpu.control.base import NO_CONTROL
 from hedit_tpu.core.schedule import Schedule
