@@ -157,3 +157,47 @@ def test_schedule_is_pytree():
         return s.h_edit_coeff(501, 481, 1.0)
 
     assert np.isfinite(float(f(sched)))
+
+
+def test_slerp_matches_reference_formula_and_guards_parallel():
+    """slerp parity with the reference's (itself-uncalled) utility
+    (``inversion_utils.py:142-158``): endpoint exactness, the spherical
+    formula on generic batches, and the parallel-vector case where the
+    torch original divides by sin(0)=0 and NaNs — ours falls back to lerp.
+    """
+    from hedit_tpu.core.schedule import slerp
+
+    rs = np.random.RandomState(3)
+    low = rs.randn(4, 7, 5).astype(np.float32)
+    high = rs.randn(4, 7, 5).astype(np.float32)
+
+    # reference formula, straight numpy transliteration (f64 oracle)
+    def ref_slerp(val, lo, hi):
+        lo2 = lo.reshape(lo.shape[0], -1).astype(np.float64)
+        hi2 = hi.reshape(hi.shape[0], -1).astype(np.float64)
+        ln = lo2 / np.linalg.norm(lo2, axis=1, keepdims=True)
+        hn = hi2 / np.linalg.norm(hi2, axis=1, keepdims=True)
+        omega = np.arccos((ln * hn).sum(1))
+        so = np.sin(omega)
+        res = (np.sin((1.0 - val) * omega) / so)[:, None] * lo2 \
+            + (np.sin(val * omega) / so)[:, None] * hi2
+        return res.reshape(lo.shape)
+
+    for val in (0.0, 0.3, 0.8, 1.0):
+        got = np.asarray(slerp(val, jnp.asarray(low), jnp.asarray(high)))
+        want = ref_slerp(val, low, high)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # endpoints are exact
+    np.testing.assert_allclose(
+        np.asarray(slerp(0.0, jnp.asarray(low), jnp.asarray(high))), low,
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(slerp(1.0, jnp.asarray(low), jnp.asarray(high))), high,
+        rtol=1e-6, atol=1e-6)
+
+    # parallel vectors: reference NaNs (sin(omega)=0); ours lerps
+    par = slerp(0.25, jnp.asarray(low), jnp.asarray(low * 2.0))
+    assert bool(jnp.isfinite(par).all())
+    np.testing.assert_allclose(np.asarray(par), low * (0.75 + 0.25 * 2.0),
+                               rtol=1e-5, atol=1e-5)
