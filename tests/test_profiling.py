@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hedit_tpu.utils.profiling import StepTimer, device_sync
+from hedit_tpu.utils.profiling import StepTimer, cost_summary, device_sync
 
 
 def test_device_sync_skips_host_leaves():
@@ -60,3 +60,17 @@ def test_steptimer_accumulates_repeated_sections():
         with t.section("loop"):
             pass
     assert list(t.summary()) == ["loop"]
+
+
+def test_cost_summary_reports_flops_for_a_matmul():
+    import jax.numpy as jnp
+
+    def f(a, b):
+        return a @ b
+
+    out = cost_summary(f, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    assert isinstance(out, dict)
+    # XLA:CPU reports flops for a plain matmul: 2*64^3 (exact value is
+    # backend-defined; require the right order of magnitude)
+    if "flops" in out:
+        assert 1e5 < out["flops"] < 1e7
